@@ -38,7 +38,7 @@ def _check_index(idx: np.ndarray) -> np.ndarray:
     return idx
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class COO:
     """Coordinate-format sparse matrix (row, col, data triplets)."""
 
@@ -74,7 +74,7 @@ class COO:
         return coo_to_csc(self)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class CSR:
     """Compressed sparse row. ``indptr`` has length ``shape[0]+1``; column
     indices within each row are sorted ascending and unique."""
@@ -139,7 +139,7 @@ class CSR:
         return CSR(m.shape, m.indptr, m.indices, m.data)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class CSC:
     """Compressed sparse column. ``indptr`` has length ``shape[1]+1``."""
 

@@ -1,0 +1,156 @@
+"""SpMM: Y = alpha * A @ X + beta * Y, dense row-major X of shape (n, k)
+(SURVEY.md C6; BASELINE config #2 uses K = 8 / 32).
+
+The ELL gather X[col] materializes (rows, width, k) floats, so execution is
+chunked over row blocks with ``lax.map`` to bound the intermediate at ~32 MB.
+Arithmetic intensity is K times SpMV's, so K=32 leaves the pure
+bandwidth-bound regime (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..formats import CSR
+from ..retile import to_ell, to_bucket_ell
+from .spmv import _PLAN_CACHE
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("m", "blk", "with_y"))
+def _ell_spmm(val, col, x, alpha, beta, y, m, blk, with_y):
+    mp = val.shape[0]
+    nblk = mp // blk
+
+    def f(i):
+        v = lax.dynamic_slice_in_dim(val, i * blk, blk)
+        c = lax.dynamic_slice_in_dim(col, i * blk, blk)
+        return jnp.einsum("rw,rwk->rk", v, x[c])
+
+    out = lax.map(f, jnp.arange(nblk)).reshape(mp, x.shape[1])[:m]
+    out = alpha.astype(out.dtype) * out
+    if with_y:
+        out = out + beta.astype(out.dtype) * y
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m", "blks", "with_y"))
+def _bucket_spmm(bucket_arrays, perm, x, alpha, beta, y, m, blks, with_y):
+    partials = []
+    for (val, col), blk in zip(bucket_arrays, blks):
+        mp = val.shape[0]
+        if blk >= mp:
+            partials.append(jnp.einsum("rw,rwk->rk", val, x[col]))
+        else:
+            def f(i, val=val, col=col, blk=blk):
+                v = lax.dynamic_slice_in_dim(val, i * blk, blk)
+                c = lax.dynamic_slice_in_dim(col, i * blk, blk)
+                return jnp.einsum("rw,rwk->rk", v, x[c])
+
+            partials.append(
+                lax.map(f, jnp.arange(mp // blk)).reshape(mp, x.shape[1])
+            )
+    flat = jnp.concatenate(partials)
+    out = jnp.zeros((m + 1, x.shape[1]), dtype=flat.dtype).at[perm].add(flat)[:m]
+    out = alpha.astype(out.dtype) * out
+    if with_y:
+        out = out + beta.astype(out.dtype) * y
+    return out
+
+
+class SpmmPlan:
+    """Retiled device-resident SpMM executor for one CSR matrix."""
+
+    def __init__(self, a: CSR, method: str = "auto", *,
+                 max_width: int = 2048, intermediate_mb: int = 32):
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        self._intermediate = intermediate_mb * (1 << 20)
+        if method == "auto":
+            deg = a.row_lengths
+            mx = int(deg.max(initial=0))
+            mean = float(deg.mean()) if a.shape[0] else 0.0
+            if jax.default_backend() == "tpu" and a.dtype != np.float64:
+                method = "pallas"
+            else:
+                method = "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+        self.method = method
+
+        if method == "ell":
+            ell = to_ell(a)
+            self._val = jnp.asarray(ell.val)
+            self._col = jnp.asarray(ell.col)
+            self._width = ell.width
+            self.bytes_per_iter_nx = ell.col.size * (a.data.itemsize + 4)
+        elif method == "bucket":
+            be = to_bucket_ell(a, max_width=max_width)
+            self._buckets = tuple(
+                (jnp.asarray(b.val), jnp.asarray(b.col)) for b in be.buckets
+            )
+            self._bucket_widths = tuple(b.width for b in be.buckets)
+            self._perm = jnp.asarray(be.perm)
+            self.bytes_per_iter_nx = sum(
+                b.col.size for b in be.buckets
+            ) * (a.data.itemsize + 4)
+        elif method == "pallas":
+            from .kernels.spmm_pallas import PallasSpmm
+
+            self._pallas = PallasSpmm(a)
+            self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+        else:
+            raise ValueError(f"unknown spmm method {method!r}")
+
+    def _blk(self, width: int, k: int, itemsize: int, mp: int) -> int:
+        per_row = max(width * k * itemsize, 1)
+        blk = max(self._intermediate // per_row, 8)
+        blk = min(_round_up(blk, 8), mp)
+        while mp % blk:
+            blk -= 8
+        return max(blk, 8)
+
+    def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
+        m, n = self.shape
+        x = jnp.asarray(x, dtype=self.dtype)
+        if x.ndim != 2 or x.shape[0] != n:
+            raise ValueError(f"X must have shape ({n}, k), got {x.shape}")
+        k = x.shape[1]
+        with_y = y is not None
+        if beta != 0.0 and not with_y:
+            raise ValueError("beta != 0 requires y")
+        al = jnp.asarray(alpha, dtype=self.dtype)
+        be = jnp.asarray(beta, dtype=self.dtype)
+        yv = jnp.asarray(y, dtype=self.dtype) if with_y else None
+        if self.method == "ell":
+            mp = self._val.shape[0]
+            blk = self._blk(self._width, k, x.dtype.itemsize, mp)
+            # ensure divisibility: _round_up'd rows are multiple of 8; find blk
+            while mp % blk:
+                blk -= 8
+            return _ell_spmm(self._val, self._col, x, al, be, yv, m, blk, with_y)
+        if self.method == "bucket":
+            blks = tuple(
+                self._blk(w, k, x.dtype.itemsize, v.shape[0])
+                for (v, c), w in zip(self._buckets, self._bucket_widths)
+            )
+            return _bucket_spmm(self._buckets, self._perm, x, al, be, yv, m,
+                                blks, with_y)
+        return self._pallas(x, al, be, yv, with_y)
+
+
+def spmm(a: CSR, x, alpha: float = 1.0, beta: float = 0.0, y=None,
+         *, method: str = "auto", **kw):
+    """Y_out = alpha * A @ X + beta * Y. Plans are cached per matrix."""
+    plans = _PLAN_CACHE.setdefault(a, {})
+    key = ("spmm", method, tuple(sorted(kw.items())))
+    if key not in plans:
+        plans[key] = SpmmPlan(a, method, **kw)
+    return plans[key](x, alpha, beta, y)

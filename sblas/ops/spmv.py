@@ -1,0 +1,160 @@
+"""SpMV: y = alpha * A @ x + beta * y  (SURVEY.md C5).
+
+Methods (selected by ``method=`` or ``'auto'``):
+
+- ``'coo'``    — jnp ``segment_sum(vals * x[cols], rows)``. Reads 12 B/nnz
+                 (val+col+row). Always available; the correctness anchor.
+- ``'ell'``    — ELLPACK gather: ``sum(val * x[col], axis=1)``. Reads 8 B/nnz
+                 of padded stream; best when fill is high (FEM suite).
+- ``'bucket'`` — degree-bucketed ELLPACK with heavy-row splitting; bounded
+                 padding on power-law matrices.
+- ``'pallas'`` — Pallas windowed sliced-ELL kernel (sblas.ops.kernels).
+
+The reference exposes csr-scalar / csr-vector / LightSpMV-style variants that
+trade off row-length regularity; these methods are the TPU-native analogue of
+that variant set (thread-per-row <-> ELL lanes, warp-per-row <-> bucketed
+widths, dynamic scheduling <-> heavy-row splitting).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import CSR
+from ..retile import to_ell, to_bucket_ell
+
+_PLAN_CACHE: "weakref.WeakKeyDictionary" = None  # populated lazily
+import weakref
+
+_PLAN_CACHE = weakref.WeakKeyDictionary()
+
+
+def _axpby(y_new, alpha, beta, y, dtype):
+    y_new = alpha * y_new
+    if y is not None:
+        y_new = y_new + beta * jnp.asarray(y, dtype=dtype)
+    return y_new.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "with_y"))
+def _coo_exec(vals, cols, rows, x, alpha, beta, y, m, with_y):
+    prods = vals * x[cols]
+    out = jax.ops.segment_sum(prods, rows, num_segments=m)
+    out = alpha.astype(out.dtype) * out
+    if with_y:
+        out = out + beta.astype(out.dtype) * y
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m", "with_y"))
+def _ell_exec(val, col, x, alpha, beta, y, m, with_y):
+    out = jnp.sum(val * x[col], axis=1)[:m]
+    out = alpha.astype(out.dtype) * out
+    if with_y:
+        out = out + beta.astype(out.dtype) * y
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m", "with_y"))
+def _bucket_exec(bucket_arrays, perm, x, alpha, beta, y, m, with_y):
+    partials = [jnp.sum(val * x[col], axis=1) for (val, col) in bucket_arrays]
+    flat = jnp.concatenate(partials)
+    out = jnp.zeros(m + 1, dtype=flat.dtype).at[perm].add(flat)[:m]
+    out = alpha.astype(out.dtype) * out
+    if with_y:
+        out = out + beta.astype(out.dtype) * y
+    return out
+
+
+class SpmvPlan:
+    """Retiled device-resident SpMV executor for one CSR matrix."""
+
+    def __init__(self, a: CSR, method: str = "auto", *, max_width: int = 2048):
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        if method == "auto":
+            method = self._pick(a)
+        self.method = method
+        m, n = a.shape
+
+        if method == "coo":
+            self._vals = jnp.asarray(a.data)
+            self._cols = jnp.asarray(a.indices)
+            self._rows = jnp.asarray(a.row_ids())
+            self.bytes_per_iter = a.nnz * (a.data.itemsize + 8)
+        elif method == "ell":
+            ell = to_ell(a)
+            self._val = jnp.asarray(ell.val)
+            self._col = jnp.asarray(ell.col)
+            self.fill = ell.fill
+            self.bytes_per_iter = ell.col.size * (a.data.itemsize + 4)
+        elif method == "bucket":
+            be = to_bucket_ell(a, max_width=max_width)
+            self._buckets = tuple(
+                (jnp.asarray(b.val), jnp.asarray(b.col)) for b in be.buckets
+            )
+            self._perm = jnp.asarray(be.perm)
+            self.fill = be.fill
+            self.bytes_per_iter = sum(
+                b.col.size for b in be.buckets
+            ) * (a.data.itemsize + 4)
+        elif method == "pallas":
+            from .kernels.spmv_pallas import PallasSpmv
+
+            self._pallas = PallasSpmv(a)
+            self.bytes_per_iter = self._pallas.bytes_per_iter
+        else:
+            raise ValueError(f"unknown spmv method {method!r}")
+
+    @staticmethod
+    def _pick(a: CSR) -> str:
+        deg = a.row_lengths
+        mx = int(deg.max(initial=0))
+        mean = float(deg.mean()) if a.shape[0] else 0.0
+        if a.dtype == np.float64:
+            # Pallas/Mosaic has no f64; XLA emulates it.
+            return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+        if jax.default_backend() == "tpu":
+            return "pallas"
+        return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+
+    def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
+        m, n = self.shape
+        x = jnp.asarray(x, dtype=self.dtype)
+        if x.shape != (n,):
+            raise ValueError(f"x must have shape ({n},), got {x.shape}")
+        with_y = y is not None
+        if beta != 0.0 and not with_y:
+            raise ValueError("beta != 0 requires y")
+        al = jnp.asarray(alpha, dtype=self.dtype)
+        be = jnp.asarray(beta, dtype=self.dtype)
+        yv = jnp.asarray(y, dtype=self.dtype) if with_y else None
+        if self.method == "coo":
+            return _coo_exec(self._vals, self._cols, self._rows, x, al, be, yv,
+                             m, with_y)
+        if self.method == "ell":
+            return _ell_exec(self._val, self._col, x, al, be, yv, m, with_y)
+        if self.method == "bucket":
+            return _bucket_exec(self._buckets, self._perm, x, al, be, yv, m,
+                                with_y)
+        return self._pallas(x, al, be, yv, with_y)
+
+
+def _get_plan(a: CSR, method: str, **kw) -> SpmvPlan:
+    plans = _PLAN_CACHE.setdefault(a, {})
+    key = ("spmv", method, tuple(sorted(kw.items())))
+    if key not in plans:
+        plans[key] = SpmvPlan(a, method, **kw)
+    return plans[key]
+
+
+def spmv(a: CSR, x, alpha: float = 1.0, beta: float = 0.0, y=None,
+         *, method: str = "auto", **kw):
+    """y_out = alpha * A @ x + beta * y. Plans are cached per matrix."""
+    return _get_plan(a, method, **kw)(x, alpha, beta, y)

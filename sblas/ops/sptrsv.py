@@ -1,0 +1,106 @@
+"""SpTRSV: solve L x = b for triangular CSR L (SURVEY.md C7/C8).
+
+Mirrors the reference's analysis/solve split: ``SptrsvPlan`` runs the host
+level-set analysis once (native C++ sweep), then the solve executes as a
+single jitted ``lax.fori_loop`` over level tiles — the TPU analogue of the
+reference's one-kernel-launch-per-level wavefront, with the entire wavefront
+loop living inside one XLA computation so per-level launch overhead is a loop
+iteration, not a dispatch (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..formats import CSR
+from ..sptrsv_schedule import build_level_schedule, validate_schedule
+from .spmv import _PLAN_CACHE
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile_rows", "num_tiles"))
+def _solve_tiles(slot_row, col, val, inv_diag, b_pad, n, tile_rows, num_tiles):
+    """Serial scan over tiles; each tile solves tile_rows independent rows.
+
+    x buffer layout: [0:n] solution, [n] constant zero (gather target of
+    padded columns), [n+1] dump slot (scatter target of padded rows).
+    """
+    width = col.shape[1]
+
+    def body(t, x):
+        s0 = t * tile_rows
+        rows = lax.dynamic_slice_in_dim(slot_row, s0, tile_rows)
+        c = lax.dynamic_slice_in_dim(col, s0, tile_rows)
+        v = lax.dynamic_slice_in_dim(val, s0, tile_rows)
+        idg = lax.dynamic_slice_in_dim(inv_diag, s0, tile_rows)
+        acc = jnp.sum(v * x[c], axis=1)
+        xb = (b_pad[rows] - acc) * idg
+        # pad rows carry slot_row == n -> redirect their write to dump n+1
+        safe_rows = jnp.where(rows == n, n + 1, rows)
+        return x.at[safe_rows].set(xb)
+
+    x0 = jnp.zeros(n + 2, dtype=val.dtype)
+    x = lax.fori_loop(0, num_tiles, body, x0)
+    return x[:n]
+
+
+class SptrsvPlan:
+    """Analysis-phase product for one triangular matrix (reference: the
+    per-matrix level-set analysis kernel, SURVEY.md C7)."""
+
+    def __init__(self, l: CSR, *, lower: bool = True,
+                 unit_diagonal: bool = False, tile_rows: int = 0,
+                 method: str = "auto", validate: bool = False):
+        self.shape = l.shape
+        self.dtype = l.dtype
+        self.lower = lower
+        self.unit_diagonal = unit_diagonal
+        sched = build_level_schedule(
+            l, lower=lower, unit_diagonal=unit_diagonal, tile_rows=tile_rows
+        )
+        if validate:
+            validate_schedule(sched)
+        self.nlevels = sched.nlevels
+        self.tile_rows = sched.tile_rows
+        self.num_tiles = sched.num_tiles
+        self.padding_ratio = sched.padded_slots / max(l.shape[0], 1)
+        if method == "auto":
+            method = "tiles"
+        self.method = method
+        self._sched = sched
+        self._slot_row = jnp.asarray(sched.slot_row)
+        self._col = jnp.asarray(sched.col)
+        self._val = jnp.asarray(sched.val)
+        self._inv_diag = jnp.asarray(sched.inv_diag)
+        # bytes touched per solve: schedule stream + x/b traffic
+        self.bytes_per_iter = (
+            sched.col.size * (4 + l.data.itemsize)
+            + sched.padded_slots * (4 + l.data.itemsize)
+            + l.shape[0] * 2 * l.data.itemsize
+        )
+
+    def __call__(self, b):
+        n = self.shape[0]
+        b = jnp.asarray(b, dtype=self.dtype)
+        if b.shape != (n,):
+            raise ValueError(f"b must have shape ({n},), got {b.shape}")
+        b_pad = jnp.concatenate([b, jnp.zeros(2, dtype=b.dtype)])
+        return _solve_tiles(
+            self._slot_row, self._col, self._val, self._inv_diag, b_pad,
+            n, self.tile_rows, self.num_tiles,
+        )
+
+
+def sptrsv(l: CSR, b, *, lower: bool = True, unit_diagonal: bool = False,
+           method: str = "auto", **kw):
+    """Solve L x = b. The level-set analysis is cached per matrix."""
+    plans = _PLAN_CACHE.setdefault(l, {})
+    key = ("sptrsv", lower, unit_diagonal, method, tuple(sorted(kw.items())))
+    if key not in plans:
+        plans[key] = SptrsvPlan(l, lower=lower, unit_diagonal=unit_diagonal,
+                                method=method, **kw)
+    return plans[key](b)

@@ -1,0 +1,44 @@
+import numpy as np
+import pytest
+
+from sblas import datasets
+from sblas.golden import spmm_golden, rel_err, default_tol
+from sblas.ops.spmm import SpmmPlan
+
+
+@pytest.mark.parametrize("method", ["ell", "bucket"])
+@pytest.mark.parametrize("k", [1, 8, 32])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_spmm_vs_golden(method, k, dtype):
+    a = datasets.random_csr(200, 150, 7, seed=1, dtype=dtype)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((150, k)).astype(dtype)
+    y = np.asarray(SpmmPlan(a, method)(x))
+    ref = spmm_golden(a, x)
+    assert rel_err(y, ref) < default_tol(dtype)
+
+
+@pytest.mark.parametrize("method", ["ell", "bucket"])
+def test_spmm_alpha_beta(method):
+    a = datasets.random_csr(64, 64, 5, seed=3, dtype=np.float64)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((64, 8))
+    y0 = rng.standard_normal((64, 8))
+    out = np.asarray(SpmmPlan(a, method)(x, alpha=1.5, beta=2.0, y=y0))
+    ref = spmm_golden(a, x, alpha=1.5, beta=2.0, y=y0)
+    assert rel_err(out, ref) < 1e-11
+
+
+def test_spmm_skewed_chunking():
+    # skewed rows + small intermediate to force multi-chunk lax.map
+    a = datasets.random_csr(500, 500, 10, skew=1.0, seed=5, dtype=np.float32)
+    x = np.random.default_rng(6).standard_normal((500, 32)).astype(np.float32)
+    plan = SpmmPlan(a, "bucket", intermediate_mb=1)
+    y = np.asarray(plan(x))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
+
+
+def test_spmm_shape_check():
+    a = datasets.random_csr(8, 10, 2, seed=0)
+    with pytest.raises(ValueError):
+        SpmmPlan(a, "ell")(np.ones((11, 4), np.float32))

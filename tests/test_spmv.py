@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from sblas import datasets
+from sblas.golden import spmv_golden, rel_err, default_tol
+from sblas.ops.spmv import SpmvPlan
+
+
+MATRICES = {
+    "banded": lambda dt: datasets.banded(300, 5, seed=1, dtype=dt),
+    "random": lambda dt: datasets.random_csr(257, 301, 9, seed=2, dtype=dt),
+    "skewed": lambda dt: datasets.random_csr(400, 400, 12, skew=1.2, seed=3, dtype=dt),
+    "empty_rows": lambda dt: datasets.random_csr(100, 90, 2, seed=4, dtype=dt),
+    "poisson": lambda dt: datasets.poisson2d(17, dtype=dt),
+}
+
+
+@pytest.mark.parametrize("method", ["coo", "ell", "bucket"])
+@pytest.mark.parametrize("name", list(MATRICES))
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_spmv_methods_vs_golden(method, name, dtype):
+    a = MATRICES[name](dtype)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(a.shape[1]).astype(dtype)
+    plan = SpmvPlan(a, method)
+    y = np.asarray(plan(x))
+    ref = spmv_golden(a, x)
+    assert rel_err(y, ref) < default_tol(dtype), f"{method}/{name}"
+
+
+@pytest.mark.parametrize("method", ["coo", "ell", "bucket"])
+def test_spmv_alpha_beta(method):
+    a = datasets.random_csr(64, 64, 6, seed=5, dtype=np.float64)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(64)
+    y0 = rng.standard_normal(64)
+    plan = SpmvPlan(a, method)
+    out = np.asarray(plan(x, alpha=2.5, beta=-0.5, y=y0))
+    ref = spmv_golden(a, x, alpha=2.5, beta=-0.5, y=y0)
+    assert rel_err(out, ref) < 1e-11
+
+
+def test_spmv_beta_requires_y():
+    a = datasets.random_csr(8, 8, 2, seed=0)
+    with pytest.raises(ValueError):
+        SpmvPlan(a, "coo")(np.ones(8, np.float32), beta=1.0)
+
+
+def test_spmv_shape_check():
+    a = datasets.random_csr(8, 10, 2, seed=0)
+    with pytest.raises(ValueError):
+        SpmvPlan(a, "coo")(np.ones(9, np.float32))
+
+
+def test_spmv_heavy_row_split():
+    # one row with 600 nnz, max_width forces splitting across bucket slots
+    rng = np.random.default_rng(11)
+    rows = np.concatenate([np.zeros(600, np.int64),
+                           rng.integers(1, 200, 400)])
+    cols = rng.integers(0, 200, 1000)
+    vals = rng.standard_normal(1000)
+    from sblas.formats import COO, coo_to_csr
+    a = coo_to_csr(COO((200, 200), rows, cols, vals))
+    x = rng.standard_normal(200)
+    plan = SpmvPlan(a, "bucket", max_width=128)
+    y = np.asarray(plan(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-11
+
+
+def test_spmv_toplevel_cache():
+    import sblas
+
+    a = datasets.random_csr(32, 32, 4, seed=6)
+    x = np.ones(32, np.float32)
+    y1 = sblas.spmv(a, x, method="coo")
+    y2 = sblas.spmv(a, x, method="coo")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_spmv_rectangular_wide_and_tall():
+    for (m, n) in [(50, 300), (300, 50)]:
+        a = datasets.random_csr(m, n, 4, seed=9, dtype=np.float64)
+        x = np.random.default_rng(1).standard_normal(n)
+        for method in ("coo", "ell", "bucket"):
+            y = np.asarray(SpmvPlan(a, method)(x))
+            assert rel_err(y, spmv_golden(a, x)) < 1e-11
