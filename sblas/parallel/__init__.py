@@ -1,0 +1,25 @@
+"""Multi-chip distribution (layer L3, SURVEY.md C10/C11).
+
+The reference's multi-GPU runtime is an OpenMP thread per GPU with P2P
+copies/unified memory as transport and device+thread barriers as sync. The
+TPU-native equivalent owns no transport at all: partitions come from
+``sblas.partition``, placement is `jax.sharding.NamedSharding` over a 1D
+`Mesh('chips')`, and the collectives (`all_gather` of x, `psum` /
+`psum_scatter` of partial y, per-level exchange in SpTRSV) are emitted by
+XLA from `shard_map`-annotated code and ride ICI.
+
+Develop/test on a CPU mesh via XLA_FLAGS=--xla_force_host_platform_device_count=N;
+identical code runs on a real v5e pod slice.
+"""
+
+from .mesh import make_mesh, chips_axis
+from .spmv_dist import DistSpmvPlan, dist_spmv
+from .spmm_dist import DistSpmmPlan, dist_spmm
+from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
+
+__all__ = [
+    "make_mesh", "chips_axis",
+    "DistSpmvPlan", "dist_spmv",
+    "DistSpmmPlan", "dist_spmm",
+    "DistSptrsvPlan", "dist_sptrsv",
+]
