@@ -1,0 +1,173 @@
+"""`sblas-bench` CLI (layer L5, SURVEY.md C14).
+
+Mirrors the reference's per-routine driver executables
+(`./spmv matrix.mtx ngpu iters` style) as argparse subcommands with JSON
+output, golden validation, and optional profiler traces:
+
+    sblas-bench spmv   --matrix cant --dtype f32 --method ell --json out.json
+    sblas-bench spmm   --matrix consph --k 32
+    sblas-bench sptrsv --matrix chol:cant --compare-reference
+    sblas-bench dist-spmv --matrix cant --strategy nnz_split
+    sblas-bench stream
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_matrix(spec: str, scale: float, dtype):
+    """Resolve a matrix spec: a .mtx path, a SUITE name, a generator spec
+    ('poisson:N', 'band:N:W', 'tri:N:D', 'chol:NAME'), or 'random:M:D'."""
+    from . import datasets
+
+    if spec.startswith("poisson:"):
+        return datasets.poisson2d(int(spec.split(":")[1]), dtype=dtype)
+    if spec.startswith("band:"):
+        _, n, w = spec.split(":")
+        return datasets.banded(int(n), int(w), dtype=dtype)
+    if spec.startswith("tri:"):
+        parts = spec.split(":")
+        n, d = int(parts[1]), float(parts[2])
+        return datasets.lower_triangular(n, d, dtype=dtype)
+    if spec.startswith("chol:"):
+        base = spec.split(":", 1)[1]
+        a = _load_matrix(base, scale, np.float64)
+        from .formats import tril
+        try:
+            return datasets.cholesky_factor(a, dtype=dtype)
+        except Exception:
+            # fall back: lower triangle with dominant diagonal
+            return datasets.lower_triangular(a.shape[0], a.nnz / a.shape[0],
+                                             dtype=dtype)
+    if spec.startswith("random:"):
+        parts = spec.split(":")
+        m, d = int(parts[1]), float(parts[2])
+        skew = float(parts[3]) if len(parts) > 3 else 0.0
+        return datasets.random_csr(m, m, d, skew=skew, dtype=dtype)
+    return datasets.load(spec, scale=scale, dtype=dtype)
+
+
+def _dtype(s: str):
+    return {"f32": np.float32, "f64": np.float64,
+            "float32": np.float32, "float64": np.float64}[s]
+
+
+def _emit(rec, args):
+    d = rec.as_dict()
+    line = json.dumps(d)
+    print(line)
+    if args.json:
+        out = Path(args.json)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "a") as f:
+            f.write(line + "\n")
+
+
+def _maybe_profile(args):
+    if getattr(args, "profile", None):
+        import jax
+
+        return jax.profiler.trace(args.profile)
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sblas-bench",
+                                description="TPU sparse BLAS benchmarks")
+    p.add_argument("--x64", action="store_true",
+                   help="enable jax x64 (required for f64)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, tri=False):
+        sp.add_argument("--matrix", default="tri:20000:8" if tri else "cant",
+                        help=".mtx path | SUITE name | generator spec")
+        sp.add_argument("--scale", type=float, default=1.0)
+        sp.add_argument("--dtype", default="f32", type=str)
+        sp.add_argument("--iters", type=int, default=25)
+        sp.add_argument("--no-validate", action="store_true")
+        sp.add_argument("--json", default=None, help="append JSON result here")
+        sp.add_argument("--profile", default=None,
+                        help="write a jax.profiler trace to this dir")
+
+    sp = sub.add_parser("spmv")
+    common(sp)
+    sp.add_argument("--method", default="auto",
+                    choices=["auto", "coo", "ell", "bucket", "pallas"])
+
+    sp = sub.add_parser("spmm")
+    common(sp)
+    sp.add_argument("--k", type=int, default=8)
+    sp.add_argument("--method", default="auto",
+                    choices=["auto", "ell", "bucket", "pallas"])
+
+    sp = sub.add_parser("sptrsv")
+    common(sp, tri=True)
+    sp.add_argument("--tile-rows", type=int, default=0)
+    sp.add_argument("--compare-reference", action="store_true",
+                    help="also time the naive jnp masked wavefront")
+
+    sp = sub.add_parser("dist-spmv")
+    common(sp)
+    sp.add_argument("--strategy", default="nnz_balanced",
+                    choices=["even_rows", "nnz_balanced", "nnz_split"])
+    sp.add_argument("--chips", type=int, default=0, help="0 = all devices")
+
+    sp = sub.add_parser("stream")
+    sp.add_argument("--json", default=None)
+
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.x64 or getattr(args, "dtype", "f32") in ("f64", "float64"):
+        jax.config.update("jax_enable_x64", True)
+
+    from . import bench_lib
+    from .utils.timing import stream_bandwidth, BenchRecord
+
+    if args.cmd == "stream":
+        bw = stream_bandwidth()
+        rec = BenchRecord("stream_triad", 1.0, bytes=bw * 1e9)
+        _emit(rec, args)
+        return 0
+
+    dtype = _dtype(args.dtype)
+    mat = _load_matrix(args.matrix, args.scale, dtype)
+    validate = not args.no_validate
+
+    with _maybe_profile(args):
+        if args.cmd == "spmv":
+            rec = bench_lib.bench_spmv(mat, method=args.method,
+                                       validate=validate, iters=args.iters)
+        elif args.cmd == "spmm":
+            rec = bench_lib.bench_spmm(mat, args.k, method=args.method,
+                                       validate=validate, iters=args.iters)
+        elif args.cmd == "sptrsv":
+            rec = bench_lib.bench_sptrsv(
+                mat, validate=validate, iters=args.iters,
+                compare_reference=args.compare_reference,
+                tile_rows=args.tile_rows)
+        elif args.cmd == "dist-spmv":
+            from .parallel import make_mesh
+
+            mesh = make_mesh(args.chips or None)
+            rec = bench_lib.bench_dist_spmv(mat, mesh, strategy=args.strategy,
+                                            validate=validate,
+                                            iters=args.iters)
+        else:
+            raise SystemExit(f"unknown cmd {args.cmd}")
+    rec.extra["matrix"] = args.matrix
+    _emit(rec, args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

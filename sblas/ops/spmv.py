@@ -120,9 +120,29 @@ class SpmvPlan:
         if a.dtype == np.float64:
             # Pallas/Mosaic has no f64; XLA emulates it.
             return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
-        if jax.default_backend() == "tpu":
-            return "pallas"
+        if jax.default_backend() != "cpu":
+            try:
+                from .kernels import spmv_pallas  # noqa: F401
+
+                return "pallas"
+            except ImportError:
+                pass
         return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+
+    def apply_traced(self, x):
+        """Pure y = A @ x for use inside jit (benchmark loops, shard_map)."""
+        m = self.shape[0]
+        if self.method == "coo":
+            return jax.ops.segment_sum(self._vals * x[self._cols], self._rows,
+                                       num_segments=m)
+        if self.method == "ell":
+            return jnp.sum(self._val * x[self._col], axis=1)[:m]
+        if self.method == "bucket":
+            partials = [jnp.sum(val * x[col], axis=1)
+                        for (val, col) in self._buckets]
+            flat = jnp.concatenate(partials)
+            return jnp.zeros(m + 1, dtype=flat.dtype).at[self._perm].add(flat)[:m]
+        return self._pallas.apply_traced(x)
 
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
         m, n = self.shape

@@ -83,6 +83,29 @@ class SptrsvPlan:
             + l.shape[0] * 2 * l.data.itemsize
         )
 
+    def apply_traced(self, b):
+        """Pure x = solve(L, b) for use inside jit."""
+        n = self.shape[0]
+        b_pad = jnp.concatenate([b, jnp.zeros(2, dtype=b.dtype)])
+        width = self._col.shape[1]
+        tile_rows, num_tiles = self.tile_rows, self.num_tiles
+        slot_row, col, val, inv_diag = (self._slot_row, self._col, self._val,
+                                        self._inv_diag)
+
+        def body(t, x):
+            s0 = t * tile_rows
+            rows = lax.dynamic_slice_in_dim(slot_row, s0, tile_rows)
+            c = lax.dynamic_slice_in_dim(col, s0, tile_rows)
+            v = lax.dynamic_slice_in_dim(val, s0, tile_rows)
+            idg = lax.dynamic_slice_in_dim(inv_diag, s0, tile_rows)
+            acc = jnp.sum(v * x[c], axis=1)
+            xb = (b_pad[rows] - acc) * idg
+            safe_rows = jnp.where(rows == n, n + 1, rows)
+            return x.at[safe_rows].set(xb)
+
+        x0 = jnp.zeros(n + 2, dtype=val.dtype)
+        return lax.fori_loop(0, num_tiles, body, x0)[:n]
+
     def __call__(self, b):
         n = self.shape[0]
         b = jnp.asarray(b, dtype=self.dtype)

@@ -1,0 +1,69 @@
+import numpy as np
+import pytest
+
+from sblas import datasets
+from sblas.retile_wsell import pack_wsell, wsell_to_dense
+from sblas.golden import spmv_golden, rel_err
+
+
+@pytest.mark.parametrize("gen", ["banded", "fem", "random_narrow"])
+def test_pack_roundtrip(gen):
+    if gen == "banded":
+        a = datasets.banded(100, 5, seed=1)
+    elif gen == "fem":
+        a = datasets.random_csr(200, 200, 12, bandwidth=40, seed=2)
+    else:
+        a = datasets.random_csr(64, 64, 4, bandwidth=8, seed=3)
+    w = pack_wsell(a, pmax=4)
+    np.testing.assert_allclose(wsell_to_dense(w), a.todense())
+
+
+def test_pack_wide_matrix_multi_window():
+    # columns span many panels -> multiple tiles per slice
+    a = datasets.random_csr(16, 2000, 40, seed=4)
+    w = pack_wsell(a, pmax=2)
+    assert w.num_tiles > 2
+    np.testing.assert_allclose(wsell_to_dense(w), a.todense())
+
+
+def test_pack_empty_rows():
+    from sblas.formats import COO, coo_to_csr
+
+    a = coo_to_csr(COO((20, 20), [0, 19], [5, 3], [1.0, 2.0]))
+    w = pack_wsell(a)
+    np.testing.assert_allclose(wsell_to_dense(w), a.todense())
+
+
+def test_fem_fill_reasonable():
+    a = datasets.emulate("cant", scale=0.02)
+    w = pack_wsell(a, pmax=4)
+    assert w.fill > 0.3, w.fill
+
+
+@pytest.mark.parametrize("gen", ["banded", "fem"])
+def test_pallas_spmv_interpret(gen):
+    from sblas.ops.kernels.spmv_pallas import PallasSpmv
+
+    if gen == "banded":
+        a = datasets.banded(300, 6, seed=5, dtype=np.float32)
+    else:
+        a = datasets.random_csr(256, 256, 10, bandwidth=30, seed=6,
+                                dtype=np.float32)
+    import jax.numpy as jnp
+
+    p = PallasSpmv(a)
+    x = np.random.default_rng(7).standard_normal(a.shape[1]).astype(np.float32)
+    import jax
+
+    y = np.asarray(jax.jit(p.apply_traced)(jnp.asarray(x)))
+    assert rel_err(y, spmv_golden(a, x)) < 2e-5
+
+
+def test_pallas_rejects_f64_and_scattered():
+    from sblas.ops.kernels.spmv_pallas import PallasSpmv
+
+    with pytest.raises(ValueError):
+        PallasSpmv(datasets.random_csr(64, 64, 4, seed=8, dtype=np.float64))
+    scattered = datasets.random_csr(512, 100000, 4, seed=9, dtype=np.float32)
+    with pytest.raises(ValueError):
+        PallasSpmv(scattered)
