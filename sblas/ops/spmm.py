@@ -18,6 +18,7 @@ from jax import lax
 
 from ..formats import CSR
 from ..retile import to_ell, to_bucket_ell
+from ..retile_bsr import pack_bsr, bsr_stats
 from .spmv import _PLAN_CACHE
 
 
@@ -79,8 +80,9 @@ class SpmmPlan:
             deg = a.row_lengths
             mx = int(deg.max(initial=0))
             mean = float(deg.mean()) if a.shape[0] else 0.0
-            if jax.default_backend() == "tpu" and a.dtype != np.float64:
-                method = "pallas"
+            stats = bsr_stats(a)
+            if stats["density"] > 0.15 and stats["bytes"] < 4 << 30:
+                method = "bsr"
             else:
                 method = "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
         self.method = method
@@ -101,6 +103,13 @@ class SpmmPlan:
             self.bytes_per_iter_nx = sum(
                 b.col.size for b in be.buckets
             ) * (a.data.itemsize + 4)
+        elif method == "bsr":
+            bsr = pack_bsr(a)
+            self._blocks = jnp.asarray(bsr.blocks)
+            self._brow = jnp.asarray(bsr.brow)
+            self._bcol = jnp.asarray(bsr.bcol)
+            self._bsr_meta = bsr
+            self.bytes_per_iter_nx = bsr.bytes_per_iter
         elif method == "pallas":
             from .kernels.spmm_pallas import PallasSpmm
 
@@ -108,6 +117,20 @@ class SpmmPlan:
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmm method {method!r}")
+
+    def apply_traced(self, x):
+        """Pure Y = A @ X for use inside jit (bsr method)."""
+        m = self.shape[0]
+        meta = self._bsr_meta
+        pad = meta.num_bcols * meta.bc - self.shape[1]
+        x3d = jnp.pad(x, ((0, pad), (0, 0))).reshape(
+            meta.num_bcols, meta.bc, x.shape[1]
+        )
+        xg = x3d[self._bcol]                           # (nb, bc, k)
+        partial = jnp.einsum("bij,bjk->bik", self._blocks, xg)
+        y = jax.ops.segment_sum(partial, self._brow,
+                                num_segments=meta.num_brows)
+        return y.reshape(-1, x.shape[1])[:m]
 
     def _blk(self, width: int, k: int, itemsize: int, mp: int) -> int:
         per_row = max(width * k * itemsize, 1)
@@ -143,6 +166,12 @@ class SpmmPlan:
             )
             return _bucket_spmm(self._buckets, self._perm, x, al, be, yv, m,
                                 blks, with_y)
+        if self.method == "bsr":
+            out = jax.jit(self.apply_traced)(x)
+            out = al.astype(out.dtype) * out
+            if with_y:
+                out = out + be.astype(out.dtype) * yv
+            return out
         return self._pallas(x, al, be, yv, with_y)
 
 

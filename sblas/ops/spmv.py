@@ -27,6 +27,7 @@ import numpy as np
 
 from ..formats import CSR
 from ..retile import to_ell, to_bucket_ell
+from ..retile_bsr import pack_bsr
 
 _PLAN_CACHE: "weakref.WeakKeyDictionary" = None  # populated lazily
 import weakref
@@ -104,6 +105,14 @@ class SpmvPlan:
             self.bytes_per_iter = sum(
                 b.col.size for b in be.buckets
             ) * (a.data.itemsize + 4)
+        elif method == "bsr":
+            bsr = pack_bsr(a)
+            self._blocks = jnp.asarray(bsr.blocks)
+            self._brow = jnp.asarray(bsr.brow)
+            self._bcol = jnp.asarray(bsr.bcol)
+            self._bsr_meta = bsr
+            self.fill = bsr.density
+            self.bytes_per_iter = bsr.bytes_per_iter + (n + m) * a.data.itemsize
         elif method == "pallas":
             from .kernels.spmv_pallas import PallasSpmv
 
@@ -142,6 +151,15 @@ class SpmvPlan:
                         for (val, col) in self._buckets]
             flat = jnp.concatenate(partials)
             return jnp.zeros(m + 1, dtype=flat.dtype).at[self._perm].add(flat)[:m]
+        if self.method == "bsr":
+            meta = self._bsr_meta
+            pad = meta.num_bcols * meta.bc - self.shape[1]
+            x2d = jnp.pad(x, (0, pad)).reshape(meta.num_bcols, meta.bc)
+            xg = x2d[self._bcol]                       # (nb, bc)
+            partial = jnp.einsum("bij,bj->bi", self._blocks, xg)
+            y = jax.ops.segment_sum(partial, self._brow,
+                                    num_segments=meta.num_brows)
+            return y.reshape(-1)[:m]
         return self._pallas.apply_traced(x)
 
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
@@ -163,6 +181,12 @@ class SpmvPlan:
         if self.method == "bucket":
             return _bucket_exec(self._buckets, self._perm, x, al, be, yv, m,
                                 with_y)
+        if self.method == "bsr":
+            out = jax.jit(self.apply_traced)(x)
+            out = al.astype(out.dtype) * out
+            if with_y:
+                out = out + be.astype(out.dtype) * yv
+            return out
         return self._pallas(x, al, be, yv, with_y)
 
 

@@ -42,3 +42,20 @@ def test_spmm_shape_check():
     a = datasets.random_csr(8, 10, 2, seed=0)
     with pytest.raises(ValueError):
         SpmmPlan(a, "ell")(np.ones((11, 4), np.float32))
+
+
+@pytest.mark.parametrize("k", [8, 32])
+def test_spmm_bsr(k):
+    a = datasets.random_csr(300, 260, 12, bandwidth=60, seed=31, dtype=np.float64)
+    x = np.random.default_rng(32).standard_normal((260, k))
+    y = np.asarray(SpmmPlan(a, "bsr")(x))
+    assert rel_err(y, spmm_golden(a, x)) < 1e-11
+
+
+def test_spmm_auto_picks_bsr_for_block_dense():
+    # truly block-dense: narrow band so 128x128 diagonal blocks are >15% full
+    a = datasets.banded(512, 40, seed=33, dtype=np.float32)
+    from sblas.retile_bsr import bsr_stats
+    assert bsr_stats(a)["density"] > 0.15
+    plan = SpmmPlan(a, "auto")
+    assert plan.method == "bsr"

@@ -84,3 +84,17 @@ def test_spmv_rectangular_wide_and_tall():
         for method in ("coo", "ell", "bucket"):
             y = np.asarray(SpmvPlan(a, method)(x))
             assert rel_err(y, spmv_golden(a, x)) < 1e-11
+
+
+def test_spmv_bsr_method():
+    a = datasets.random_csr(300, 280, 10, bandwidth=50, seed=21, dtype=np.float32)
+    x = np.random.default_rng(22).standard_normal(280).astype(np.float32)
+    y = np.asarray(SpmvPlan(a, "bsr")(x))
+    assert rel_err(y, spmv_golden(a, x)) < 2e-5
+
+
+def test_spmv_bsr_f64():
+    a = datasets.poisson2d(20, dtype=np.float64)
+    x = np.random.default_rng(23).standard_normal(a.shape[1])
+    y = np.asarray(SpmvPlan(a, "bsr")(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-11
