@@ -124,14 +124,21 @@ class PallasSpmv:
             ),
         )
 
-    def apply_traced(self, x):
+    def device_arrays(self):
+        return {"tg": self._tg, "wr": self._wr, "tf": self._tf,
+                "val": self._val, "lcol": self._lcol}
+
+    def apply_pure(self, arrs, x):
         m, n = self.shape
         w = self.layout
         pad = w.x2d_rows * 128 - n
         x2d = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(-1, 128)
-        y = self._call(self._tg, self._wr, self._tf, x2d, self._val,
-                       self._lcol)
+        y = self._call(arrs["tg"], arrs["wr"], arrs["tf"], x2d, arrs["val"],
+                       arrs["lcol"])
         return y.reshape(-1)[:m].astype(self.dtype)
+
+    def apply_traced(self, x):
+        return self.apply_pure(self.device_arrays(), x)
 
     def __call__(self, x, alpha, beta, y, with_y):
         out = self.apply_traced(x)

@@ -118,6 +118,42 @@ class SpmmPlan:
         else:
             raise ValueError(f"unknown spmm method {method!r}")
 
+    def device_arrays(self):
+        if self.method == "bsr":
+            return {"blocks": self._blocks, "brow": self._brow,
+                    "bcol": self._bcol}
+        if self.method == "ell":
+            return {"val": self._val, "col": self._col}
+        raise NotImplementedError(self.method)
+
+    def apply_pure(self, arrs, x):
+        """Y = A @ X with arrays passed explicitly (jit-argument safe)."""
+        m = self.shape[0]
+        if self.method == "ell":
+            val, col = arrs["val"], arrs["col"]
+            mp = val.shape[0]
+            k = x.shape[1]
+            blk = self._blk(self._width, k, x.dtype.itemsize, mp)
+            while mp % blk:
+                blk -= 8
+
+            def f(i):
+                v = lax.dynamic_slice_in_dim(val, i * blk, blk)
+                c = lax.dynamic_slice_in_dim(col, i * blk, blk)
+                return jnp.einsum("rw,rwk->rk", v, x[c])
+
+            return lax.map(f, jnp.arange(mp // blk)).reshape(mp, k)[:m]
+        meta = self._bsr_meta
+        pad = meta.num_bcols * meta.bc - self.shape[1]
+        x3d = jnp.pad(x, ((0, pad), (0, 0))).reshape(
+            meta.num_bcols, meta.bc, x.shape[1]
+        )
+        xg = x3d[arrs["bcol"]]
+        partial = jnp.einsum("bij,bjk->bik", arrs["blocks"], xg)
+        y = jax.ops.segment_sum(partial, arrs["brow"],
+                                num_segments=meta.num_brows)
+        return y.reshape(-1, x.shape[1])[:m]
+
     def apply_traced(self, x):
         """Pure Y = A @ X for use inside jit (bsr method)."""
         m = self.shape[0]

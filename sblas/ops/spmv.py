@@ -138,29 +138,52 @@ class SpmvPlan:
                 pass
         return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
 
-    def apply_traced(self, x):
-        """Pure y = A @ x for use inside jit (benchmark loops, shard_map)."""
+    def device_arrays(self):
+        """Pytree of this plan's device-resident arrays.
+
+        IMPORTANT (axon/remote-compile): pass these as explicit jit arguments
+        and use :meth:`apply_pure`; closing over device arrays embeds them as
+        HLO constants, which ships hundreds of MB to the compiler.
+        """
+        if self.method == "coo":
+            return {"vals": self._vals, "cols": self._cols, "rows": self._rows}
+        if self.method == "ell":
+            return {"val": self._val, "col": self._col}
+        if self.method == "bucket":
+            return {"buckets": self._buckets, "perm": self._perm}
+        if self.method == "bsr":
+            return {"blocks": self._blocks, "brow": self._brow,
+                    "bcol": self._bcol}
+        return self._pallas.device_arrays()
+
+    def apply_pure(self, arrs, x):
+        """y = A @ x with arrays passed explicitly (jit-argument safe)."""
         m = self.shape[0]
         if self.method == "coo":
-            return jax.ops.segment_sum(self._vals * x[self._cols], self._rows,
-                                       num_segments=m)
+            return jax.ops.segment_sum(arrs["vals"] * x[arrs["cols"]],
+                                       arrs["rows"], num_segments=m)
         if self.method == "ell":
-            return jnp.sum(self._val * x[self._col], axis=1)[:m]
+            return jnp.sum(arrs["val"] * x[arrs["col"]], axis=1)[:m]
         if self.method == "bucket":
             partials = [jnp.sum(val * x[col], axis=1)
-                        for (val, col) in self._buckets]
+                        for (val, col) in arrs["buckets"]]
             flat = jnp.concatenate(partials)
-            return jnp.zeros(m + 1, dtype=flat.dtype).at[self._perm].add(flat)[:m]
+            return jnp.zeros(m + 1, dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
         if self.method == "bsr":
             meta = self._bsr_meta
             pad = meta.num_bcols * meta.bc - self.shape[1]
             x2d = jnp.pad(x, (0, pad)).reshape(meta.num_bcols, meta.bc)
-            xg = x2d[self._bcol]                       # (nb, bc)
-            partial = jnp.einsum("bij,bj->bi", self._blocks, xg)
-            y = jax.ops.segment_sum(partial, self._brow,
+            xg = x2d[arrs["bcol"]]
+            partial = jnp.einsum("bij,bj->bi", arrs["blocks"], xg)
+            y = jax.ops.segment_sum(partial, arrs["brow"],
                                     num_segments=meta.num_brows)
             return y.reshape(-1)[:m]
-        return self._pallas.apply_traced(x)
+        return self._pallas.apply_pure(arrs, x)
+
+    def apply_traced(self, x):
+        """Pure y = A @ x inside jit. Convenience wrapper over apply_pure
+        (embeds arrays as constants — fine on CPU tests, avoid on axon)."""
+        return self.apply_pure(self.device_arrays(), x)
 
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
         m, n = self.shape

@@ -83,14 +83,17 @@ class SptrsvPlan:
             + l.shape[0] * 2 * l.data.itemsize
         )
 
-    def apply_traced(self, b):
-        """Pure x = solve(L, b) for use inside jit."""
+    def device_arrays(self):
+        return {"slot_row": self._slot_row, "col": self._col,
+                "val": self._val, "inv_diag": self._inv_diag}
+
+    def apply_pure(self, arrs, b):
+        """x = solve(L, b) with arrays passed explicitly (jit-argument safe)."""
         n = self.shape[0]
         b_pad = jnp.concatenate([b, jnp.zeros(2, dtype=b.dtype)])
-        width = self._col.shape[1]
         tile_rows, num_tiles = self.tile_rows, self.num_tiles
-        slot_row, col, val, inv_diag = (self._slot_row, self._col, self._val,
-                                        self._inv_diag)
+        slot_row, col, val, inv_diag = (arrs["slot_row"], arrs["col"],
+                                        arrs["val"], arrs["inv_diag"])
 
         def body(t, x):
             s0 = t * tile_rows
@@ -105,6 +108,9 @@ class SptrsvPlan:
 
         x0 = jnp.zeros(n + 2, dtype=val.dtype)
         return lax.fori_loop(0, num_tiles, body, x0)[:n]
+
+    def apply_traced(self, b):
+        return self.apply_pure(self.device_arrays(), b)
 
     def __call__(self, b):
         n = self.shape[0]

@@ -53,36 +53,41 @@ class BenchRecord:
 
 
 def measure_seconds_per_iter(
-    step: Callable, init, *, iters_lo: int = 5, iters_hi: int = 25,
+    step: Callable, init, *args, iters_lo: int = 5, iters_hi: int = 25,
     repeats: int = 3,
 ) -> float:
-    """Marginal seconds per iteration of ``step`` (a carry -> carry fn).
+    """Marginal seconds per iteration of ``step(carry, *args) -> carry``.
 
-    ``step`` must return something of the same structure as its input so the
+    ``step`` must return something of the same structure as its carry so the
     loop carries a data dependency (prevents elision/overlap/LICM of the
     loads that depend on the carry).
+
+    All device arrays MUST be threaded through ``*args`` (pytrees fine), not
+    closed over: on the axon remote-compile path, closure-captured arrays are
+    embedded as HLO constants and shipped to the compiler — a 100 MB constant
+    turns a 1 s compile into minutes (measured).
     """
 
     @jax.jit
-    def run(x, k):
-        return lax.fori_loop(0, k, lambda i, c: step(c), x)
+    def run(x, k, *a):
+        return lax.fori_loop(0, k, lambda i, c: step(c, *a), x)
 
     lo = jnp.int32(iters_lo)
     hi = jnp.int32(iters_hi)
-    jax.block_until_ready(run(init, lo))  # compile + warm
+    jax.block_until_ready(run(init, lo, *args))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(init, lo))
+        jax.block_until_ready(run(init, lo, *args))
         t1 = time.perf_counter()
-        jax.block_until_ready(run(init, hi))
+        jax.block_until_ready(run(init, hi, *args))
         t2 = time.perf_counter()
         per = ((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo)
         if per > 0:
             best = min(best, per)
     if best == float("inf"):  # noisy environment; fall back to hi-run average
         t0 = time.perf_counter()
-        jax.block_until_ready(run(init, hi))
+        jax.block_until_ready(run(init, hi, *args))
         best = (time.perf_counter() - t0) / iters_hi
     return best
 
@@ -104,10 +109,10 @@ def stream_bandwidth(nbytes_per_array: int = 256 * (1 << 20),
     n = nbytes_per_array // jnp.dtype(dtype).itemsize
     b = jnp.full((n,), 1.0, dtype)
 
-    def triad(x):
+    def triad(x, b):
         return x + 2.0 * b
 
-    per = measure_seconds_per_iter(triad, jnp.zeros((n,), dtype),
+    per = measure_seconds_per_iter(triad, jnp.zeros((n,), dtype), b,
                                    iters_lo=4, iters_hi=16, repeats=2)
     bw = 3 * n * jnp.dtype(dtype).itemsize / per / 1e9
     _STREAM_CACHE[key] = bw
