@@ -45,7 +45,17 @@ def _kernel(pmax, sub):
             inwin = (idx >= 0) & (idx < 128)
             g = jnp.take_along_axis(table, jnp.clip(idx, 0, 127), axis=1)
             acc = acc + jnp.where(inwin, v * g, 0.0)
-        partial = jnp.sum(acc.reshape(SUBLANES, sub, lps), axis=-1)  # (8, sub)
+        # Segmented lane reduction via a constant 0/1 matrix on the MXU:
+        # Mosaic cannot shape-cast (8,128)->(8,sub,lps), but (8,128)@(128,sub)
+        # is a native matmul. seg[j,k] = 1 iff lane j belongs to segment k.
+        seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 0) // lps
+               == jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 1)
+               ).astype(jnp.float32)
+        # HIGHEST precision: v5e MXU multiplies in bf16 by default, which
+        # rounds acc's mantissa (measured rel-err ~1e-3); the 3-pass f32
+        # emulation restores f32 accuracy and is still cheap at (8,128,sub).
+        partial = jnp.dot(acc, seg, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
         @pl.when(tf_ref[t] == 1)
         def _():

@@ -73,3 +73,25 @@ def test_emulate_stats():
 def test_load_unknown():
     with pytest.raises(FileNotFoundError):
         datasets.load("no-such-matrix")
+
+
+def test_plan_cache_roundtrip(tmp_path):
+    from sblas.plan_cache import cached_arrays, matrix_digest
+
+    a = datasets.random_csr(50, 50, 5, seed=40)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"x": np.arange(5), "y": np.ones((2, 3))}
+
+    r1 = cached_arrays(a, "test", {"p": 1}, build, cache_dir=str(tmp_path))
+    r2 = cached_arrays(a, "test", {"p": 1}, build, cache_dir=str(tmp_path))
+    assert len(calls) == 1
+    np.testing.assert_array_equal(r1["x"], r2["x"])
+    # different params -> rebuild
+    cached_arrays(a, "test", {"p": 2}, build, cache_dir=str(tmp_path))
+    assert len(calls) == 2
+    # different matrix -> different digest
+    b = datasets.random_csr(50, 50, 5, seed=41)
+    assert matrix_digest(a) != matrix_digest(b)
