@@ -30,11 +30,13 @@ def main():
         P(f"--- {name}: {m}x{n} nnz={a.nnz} avg={a.nnz/m:.1f} "
           f"max={int(a.row_lengths.max())}")
         x0 = jnp.asarray(np.random.default_rng(0).standard_normal(n).astype(np.float32))
-        for method in ("coo", "ell", "bucket"):
+        for method in ("coo", "ell", "bucket", "pallas"):
             try:
                 plan = SpmvPlan(a, method)
-                step = lambda x, p=plan: x0 + 1e-30 * p.apply_traced(x)
-                per = measure_seconds_per_iter(step, x0, iters_lo=5, iters_hi=25)
+                def step(x, arrs, x0, p=plan):
+                    return x0 + 1e-30 * p.apply_pure(arrs, x)
+                per = measure_seconds_per_iter(step, x0, plan.device_arrays(),
+                                               x0, iters_lo=5, iters_hi=25)
                 by = plan.bytes_per_iter + 2 * n * 4
                 P(f"{method:7s} {per*1e3:8.3f} ms  {by/per/1e9:7.1f} GB/s "
                   f"({100*by/per/1e9/sbw:5.1f}% stream)  "
@@ -94,7 +96,7 @@ def main():
         P(f"PROBE wsell_core: FAIL {str(e)[:300]}")
 
     # throughput of the axis1 gather inside a streaming kernel
-    M, BLK = 16384, 1024
+    M, BLK = 65536, 1024
     val = jnp.asarray(rng.standard_normal((M, 128)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, 128, (M, 128), dtype=np.int32))
     xw8 = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
@@ -118,11 +120,11 @@ def main():
         )(xw, val, idx)
 
     try:
-        def step(carry):
+        def step(carry, val, idx):
             r = gather_stream(xw8 + carry * 1e-30, val, idx)
             return jnp.sum(r)
 
-        per = measure_seconds_per_iter(step, jnp.float32(0.0), iters_lo=5, iters_hi=25)
+        per = measure_seconds_per_iter(step, jnp.float32(0.0), val, idx, iters_lo=5, iters_hi=25)
         elems = M * 128
         P(f"pallas axis1-gather stream: {per*1e3:.3f} ms, "
           f"{elems/per/1e9:.1f} Gelem/s, {elems*8/per/1e9:.1f} GB/s streamed "
@@ -148,11 +150,11 @@ def main():
         )(val, idx)
 
     try:
-        def step2(carry):
-            r = nostream(val + carry * 1e-30, idx)
+        def step2(carry, val, idx):
+            r = nostream(val, idx + carry.astype(jnp.int32))
             return jnp.sum(r)
 
-        per = measure_seconds_per_iter(step2, jnp.float32(0.0), iters_lo=5, iters_hi=25)
+        per = measure_seconds_per_iter(step2, jnp.float32(0.0), val, idx, iters_lo=5, iters_hi=25)
         elems = M * 128
         P(f"pallas no-gather stream:   {per*1e3:.3f} ms, "
           f"{elems*8/per/1e9:.1f} GB/s streamed ({100*elems*8/per/1e9/sbw:.1f}% stream)")

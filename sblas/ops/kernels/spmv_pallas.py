@@ -1,18 +1,24 @@
-"""Pallas TPU SpMV kernel over the w-SELL layout (SURVEY.md C5 fast path).
+"""Pallas TPU SpMV kernel over the w-SELL v3 layout (SURVEY.md C5 fast path).
 
-Per grid step (one (8 x 128) tile feeding 8*sub rows):
-  1. stream val/lcol tile HBM->VMEM (Pallas pipelines/double-buffers),
-  2. for each of pmax panels: broadcast one 128-wide row of the VMEM-resident
-     x2d to 8 sublanes and `take_along_axis(..., axis=1)` — the per-sublane
-     lane-gather, the only gather form Mosaic v5e supports — masked by panel,
-  3. multiply-accumulate, reduce each row segment's lanes, accumulate into
-     the group's (8, sub) output block (revisited across the group's
-     consecutive tiles).
+Both x (as x2d[*,128]) and the FULL y accumulator live in VMEM; the nnz
+stream (val/lcol tiles of (th x 128), ~256 KB per grid step to amortize the
+measured ~300-400 ns step overhead) is the only HBM traffic besides one
+pass over x and y. Per (8 x 128) round inside a tile:
 
-The gather rides entirely in registers/VMEM; HBM traffic is the val/lcol
-stream (8 B per slot) plus one pass over x and y, so the kernel is
-bandwidth-bound by design. f64 is not supported by Mosaic — callers keep f64
-on the XLA path (BASELINE.md note on fp64).
+  1. dynamic-slice the round's 128-wide x window out of x2d, broadcast to 8
+     sublanes,
+  2. `take_along_axis(..., axis=1)` — the per-sublane lane-gather, the only
+     gather Mosaic v5e supports (97.5% of STREAM in a streaming
+     microbenchmark, experiments/e5); no masking — a round's columns live in
+     one panel by construction,
+  3. multiply, reduce each row segment's lanes via a constant 0/1 segment
+     matrix on the MXU (precision=HIGHEST: default bf16 rounding of the
+     accumulator costs ~1e-3 rel-err, measured), and accumulate into the
+     round's 8-row slab of the VMEM-resident y.
+
+XLA's own gather/scatter lowers to ~1 GB/s serial code on TPU (measured), so
+this kernel IS the single-chip fast path; f64 (no Mosaic support) and
+scattered matrices fall back to the XLA paths.
 """
 
 from __future__ import annotations
@@ -26,44 +32,50 @@ from jax.experimental.pallas import tpu as pltpu
 from ...formats import CSR
 from ...retile_wsell import pack_wsell, SUBLANES, LANES
 
-_VMEM_X_LIMIT = 24 * (1 << 20)  # stage x fully in VMEM up to this size
+_VMEM_X_LIMIT = 24 * (1 << 20)   # stage x fully in VMEM up to this size
+_VMEM_Y_LIMIT = 8 * (1 << 20)    # y accumulator cap
 
 
-def _kernel(pmax, sub):
+def _kernel(th, sub, nwin):
     lps = LANES // sub
+    ns = th // SUBLANES
 
-    def kern(tg_ref, wr_ref, tf_ref, x2d_ref, val_ref, col_ref, out_ref):
+    def kern(wrow_ref, obase_ref, x2d_ref, val_ref, col_ref, out_ref):
         t = pl.program_id(0)
-        w = wr_ref[t]
-        v = val_ref[:].astype(jnp.float32)
-        lc = col_ref[:]
-        acc = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
-        for p in range(pmax):
-            xw = x2d_ref[pl.ds(w + p, 1), :]            # (1, 128)
-            table = jnp.broadcast_to(xw, (SUBLANES, 128))
-            idx = lc - p * 128
-            inwin = (idx >= 0) & (idx < 128)
-            g = jnp.take_along_axis(table, jnp.clip(idx, 0, 127), axis=1)
-            acc = acc + jnp.where(inwin, v * g, 0.0)
-        # Segmented lane reduction via a constant 0/1 matrix on the MXU:
-        # Mosaic cannot shape-cast (8,128)->(8,sub,lps), but (8,128)@(128,sub)
-        # is a native matmul. seg[j,k] = 1 iff lane j belongs to segment k.
+
         seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 0) // lps
                == jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 1)
                ).astype(jnp.float32)
-        # HIGHEST precision: v5e MXU multiplies in bf16 by default, which
-        # rounds acc's mantissa (measured rel-err ~1e-3); the 3-pass f32
-        # emulation restores f32 accuracy and is still cheap at (8,128,sub).
-        partial = jnp.dot(acc, seg, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
 
-        @pl.when(tf_ref[t] == 1)
+        @pl.when(t == 0)
         def _():
-            out_ref[:] = partial
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-        @pl.when(tf_ref[t] == 0)
-        def _():
-            out_ref[:] = out_ref[:] + partial
+        def round_body(i, carry):
+            w = wrow_ref[t * ns + i]
+            b = obase_ref[t * ns + i]
+            v = val_ref[pl.ds(i * SUBLANES, SUBLANES), :]
+            c = col_ref[pl.ds(i * SUBLANES, SUBLANES), :]
+            xw = x2d_ref[pl.ds(w, 1), :]                   # (1, 128)
+            table = jnp.broadcast_to(xw, (SUBLANES, 128))
+            if nwin == 1:
+                g = jnp.take_along_axis(table, c, axis=1)
+            else:
+                xw1 = x2d_ref[pl.ds(w + 1, 1), :]
+                table1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+                g0 = jnp.take_along_axis(table, jnp.minimum(c, 127), axis=1)
+                g1 = jnp.take_along_axis(table1, jnp.maximum(c - 128, 0),
+                                         axis=1)
+                g = jnp.where(c < 128, g0, g1)
+            part = jnp.dot(v.astype(jnp.float32) * g, seg,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)   # (8, sub)
+            slab = b * SUBLANES
+            cur = out_ref[pl.ds(slab, SUBLANES), :]
+            out_ref[pl.ds(slab, SUBLANES), :] = cur + part
+            return carry
+
+        jax.lax.fori_loop(0, ns, round_body, 0)
 
     return kern
 
@@ -71,18 +83,20 @@ def _kernel(pmax, sub):
 class PallasSpmv:
     """w-SELL Pallas SpMV executor for one CSR matrix."""
 
-    def __init__(self, a: CSR, *, sub: int = 0, pmax: int = 4,
-                 min_fill: float = 0.25):
+    def __init__(self, a: CSR, *, th: int = 256, sub: int = 0,
+                 nwin: int = 2, min_fill: float = 0.25):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         m, n = a.shape
-        x_bytes = (-(-n // 128) + pmax) * 128 * 4
+        x_bytes = (-(-n // 128) + 1) * 128 * 4
         if x_bytes > _VMEM_X_LIMIT:
             raise ValueError(
                 f"x ({x_bytes >> 20} MB) exceeds VMEM staging limit; "
                 "use the XLA path or the multi-chip partitioner"
             )
-        w = pack_wsell(a, sub=sub, pmax=pmax)
+        w = pack_wsell(a, th=th, sub=sub, nwin=nwin)
+        if w.y_rows * w.sub * 4 > _VMEM_Y_LIMIT:
+            raise ValueError("y exceeds VMEM accumulator limit")
         if w.fill < min_fill:
             raise ValueError(
                 f"w-SELL fill {w.fill:.2f} below {min_fill} (scattered "
@@ -92,14 +106,11 @@ class PallasSpmv:
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
-        self.bytes_per_iter = (
-            w.bytes_per_iter + n * 4 + m * 4 + w.num_tiles * 12
-        )
+        self.bytes_per_iter = w.bytes_per_iter + n * 4 + m * 4
         self._val = jnp.asarray(w.val)
         self._lcol = jnp.asarray(w.lcol)
-        self._tg = jnp.asarray(w.tile_group)
-        self._wr = jnp.asarray(w.tile_wrow)
-        self._tf = jnp.asarray(w.tile_first)
+        self._wr = jnp.asarray(w.round_wrow)
+        self._ob = jnp.asarray(w.round_obase)
         self._call = self._build()
 
     def _build(self):
@@ -108,34 +119,30 @@ class PallasSpmv:
         interpret = jax.default_backend() == "cpu"
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d, whole array
-                pl.BlockSpec((SUBLANES, LANES), lambda t, tg, wr, tf: (t, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda t, tg, wr, tf: (t, 0)),
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (SUBLANES, w.sub), lambda t, tg, wr, tf: (tg[t], 0)
-            ),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
         )
 
         return pl.pallas_call(
-            _kernel(w.pmax, w.sub),
+            _kernel(w.th, w.sub, w.nwin),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (w.num_groups * SUBLANES, w.sub), jnp.float32
-            ),
+            out_shape=jax.ShapeDtypeStruct((w.y_rows, w.sub), jnp.float32),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=int(2 * T * SUBLANES * LANES * w.pmax),
+                flops=int(2 * T * w.th * LANES),
                 bytes_accessed=int(self.bytes_per_iter),
                 transcendentals=0,
             ),
         )
 
     def device_arrays(self):
-        return {"tg": self._tg, "wr": self._wr, "tf": self._tf,
+        return {"wr": self._wr, "ob": self._ob,
                 "val": self._val, "lcol": self._lcol}
 
     def apply_pure(self, arrs, x):
@@ -143,8 +150,7 @@ class PallasSpmv:
         w = self.layout
         pad = w.x2d_rows * 128 - n
         x2d = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(-1, 128)
-        y = self._call(arrs["tg"], arrs["wr"], arrs["tf"], x2d, arrs["val"],
-                       arrs["lcol"])
+        y = self._call(arrs["wr"], arrs["ob"], x2d, arrs["val"], arrs["lcol"])
         return y.reshape(-1)[:m].astype(self.dtype)
 
     def apply_traced(self, x):

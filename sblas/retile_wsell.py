@@ -1,30 +1,35 @@
-"""Windowed sliced-ELL (w-SELL): the Pallas SpMV/SpMM layout (SURVEY.md C5
+"""Windowed sliced-ELL (w-SELL v3): the Pallas SpMV layout (SURVEY.md C5
 "retile CSR into sliced-ELL/padded-segment layouts in HBM").
 
-Geometry. Tiles are physical (8 sublanes x 128 lanes) vector registers. Each
-sublane is split into ``sub`` segments of ``128//sub`` lanes; a tile
-therefore feeds ``8*sub`` consecutive rows, with row ``r0 + s*sub + k``
-occupying sublane ``s``, lane block ``k``. ``sub`` adapts the slot count per
-row to the matrix's average degree (narrow bands -> sub=8 -> 16 slots/row),
-keeping fill high without leaving the hardware's (8,128) tile shape.
+Motivating measurements on v5e (experiments/e5):
+  - XLA's gather/scatter lowering is serial: COO/ELL jnp paths run at
+    ~1 GB/s. A Pallas kernel is the only fast path.
+  - A streaming Pallas kernel built on the per-sublane lane-gather
+    (`take_along_axis(..., axis=1)`) reaches 659 GB/s = 97.5% of measured
+    STREAM — but per-grid-step overhead is ~300-400 ns, so grid steps must
+    move >=256 KB to amortize.
 
-Every tile carries a *window base* w: all columns in the tile lie in
-``[128*w, 128*(w + pmax))`` — at most ``pmax`` consecutive 128-column panels.
-The kernel stages x in VMEM as ``x2d[ceil(n/128), 128]``; a tile's gather is
-pmax per-sublane lane-gathers (`take_along_axis(..., axis=1)` — the one
-gather form Mosaic v5e supports) against broadcast rows of x2d, masked by
-panel. Rows longer than a tile's slots, or spanning more than pmax panels,
-continue into follow-up tiles of the same row group (``tile_first`` marks
-accumulation starts).
+Layout. The unit of work is a *round*: an (8 x 128) register tile whose
+columns all lie in ONE 128-column panel (``wrow``) and whose rows are the 8
+sublanes x ``sub`` lane-segments = ``8*sub`` consecutive matrix rows of one
+*row block* (``obase``); row ``obase*8*sub + s*sub + k`` sits at sublane s,
+lane block k, with ``lps = 128//sub`` slots. A row's nonzeros are chunked by
+(panel, lps) in column order; chunk q of a row goes in its row block's
+round q. Rounds are packed densely (no alignment between row blocks) into
+physical tiles of (th x 128) — one grid step each; per-round metadata
+(wrow, obase) rides in scalar prefetch. Both x (as x2d[*,128]) and the full
+y live in VMEM, so rounds can scatter-accumulate anywhere — no group
+padding, fill = per-chunk padding only.
 
-Matrices with column locality (the FEM SuiteSparse suite) pack densely with
-pmax 2-4. Scattered matrices (power-law graphs) explode into near-empty
-tiles — callers detect low ``fill`` and fall back to the XLA bucket path.
+Matrices with column locality (FEM suite) pack at fill ~0.8; scattered
+matrices shatter into tiny per-panel chunks — callers detect low ``fill``
+and fall back (SpmvPlan auto-dispatch).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import numpy as np
 
@@ -39,21 +44,26 @@ class WSell:
     m: int
     n: int
     nnz: int
+    th: int             # physical tile height (a multiple of 8)
     sub: int            # row segments per sublane
-    pmax: int           # panels per tile window
+    nwin: int           # panels per round window (1 or 2)
     num_tiles: int
-    num_groups: int     # row groups (m padded to 8*sub)
-    # Per-tile arrays, tile t occupies array rows [t*8, (t+1)*8):
-    val: np.ndarray     # (T*8, 128)
-    lcol: np.ndarray    # (T*8, 128) int32 in [0, pmax*128); pad slots 0
-    tile_group: np.ndarray  # (T,) int32: row group this tile feeds
-    tile_wrow: np.ndarray   # (T,) int32: window base row into x2d
-    tile_first: np.ndarray  # (T,) int32: 1 if first tile of its group
-    x2d_rows: int       # ceil(n/128) + pmax guard rows
+    num_rounds: int
+    # Per-tile arrays; tile t occupies array rows [t*th, (t+1)*th):
+    val: np.ndarray       # (T*th, 128)
+    lcol: np.ndarray      # (T*th, 128) int32 in [0, 128); pad slots 0
+    round_wrow: np.ndarray   # (T * th/8,) int32 x-window row per round
+    round_obase: np.ndarray  # (T * th/8,) int32 row-block index per round
+    x2d_rows: int
+    y_rows: int           # output buffer rows: ceil(m/sub) padded to 8
 
     @property
-    def rows_per_tile(self) -> int:
+    def rows_per_block(self) -> int:
         return SUBLANES * self.sub
+
+    @property
+    def rounds_per_tile(self) -> int:
+        return self.th // SUBLANES
 
     @property
     def fill(self) -> float:
@@ -61,104 +71,142 @@ class WSell:
 
     @property
     def bytes_per_iter(self) -> int:
-        return self.val.size * (self.val.itemsize + self.lcol.itemsize)
+        return (self.val.size * (self.val.itemsize + self.lcol.itemsize)
+                + self.round_wrow.size * 8)
+
+
+def _chunk_stats(a: CSR, lps: int) -> Tuple[int, int]:
+    """(total rounds needed, total slot count) for chunking by (panel, lps)."""
+    rows = a.row_ids().astype(np.int64)
+    panels = a.indices.astype(np.int64) // LANES
+    npan = int(panels.max(initial=0)) + 1
+    key = rows * npan + panels
+    uniq, counts = np.unique(key, return_counts=True)
+    chunks = -(-counts // lps)
+    # rounds per row block = max over rows in block of per-row chunk count
+    row_chunks = np.zeros(a.shape[0], dtype=np.int64)
+    np.add.at(row_chunks, (uniq // npan).astype(np.int64), chunks)
+    return int(chunks.sum()), int(chunks.sum()) * lps
 
 
 def pick_sub(a: CSR) -> int:
-    """Pick the segmentation that minimizes estimated streamed tiles.
-
-    For each candidate sub, a row of degree d needs ceil(d / (128/sub))
-    segments and a group of 8*sub rows needs max-over-rows segments worth of
-    tiles (window splits ignored — they affect all subs similarly)."""
-    deg = a.row_lengths.astype(np.int64)
-    m = len(deg)
-    if m == 0:
-        return 1
-    best_sub, best_cost = 1, float("inf")
+    """Minimize streamed slots: sum over (row, panel) of ceil(c/lps)*lps,
+    but a row block's rounds hold ALL its rows' q-th chunks, so the real
+    round count is driven by the max-chunks row in each 8*sub block; estimate
+    both and take the better balance."""
+    m = a.shape[0]
+    rows = a.row_ids().astype(np.int64)
+    panels = a.indices.astype(np.int64) // LANES
+    npan = int(panels.max(initial=0)) + 1
+    key = rows * npan + panels
+    uniq, counts = np.unique(key, return_counts=True)
+    urows = (uniq // npan).astype(np.int64)
+    best, best_sub = None, 1
     for sub in (1, 2, 4, 8, 16):
         lps = LANES // sub
-        rpt = SUBLANES * sub
-        chunks = -(-deg // lps)
-        pad = (-m) % rpt
-        if pad:
-            chunks = np.concatenate([chunks, np.zeros(pad, np.int64)])
-        tiles = np.maximum(chunks.reshape(-1, rpt).max(axis=1), 1).sum()
-        if tiles < best_cost:
-            best_sub, best_cost = sub, tiles
+        chunks = -(-counts // lps)
+        per_row = np.zeros(m, dtype=np.int64)
+        np.add.at(per_row, urows, chunks)
+        rpb = SUBLANES * sub
+        pad = (-m) % rpb
+        pr = np.concatenate([per_row, np.zeros(pad, np.int64)]) if pad else per_row
+        rounds = int(pr.reshape(-1, rpb).max(axis=1).sum())
+        cost = rounds  # each round streams 8*128 slots
+        if best is None or cost < best:
+            best, best_sub = cost, sub
     return best_sub
 
 
-def pack_wsell(a: CSR, *, sub: int = 0, pmax: int = 4) -> WSell:
-    """Pack a CSR matrix into w-SELL tiles.
+def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2) -> WSell:
+    """Pack a CSR matrix into w-SELL v3 tiles.
 
-    Greedy per row group: repeatedly pick the panel of the smallest
-    unconsumed column among the group's rows, then give every row up to its
-    segment's slot count of its next nnz that fall inside that window.
+    ``nwin`` (1 or 2): panels per round window. With 2, a round admits rows
+    whose next chunk sits in panel w or w+1 (lcol in [0, 256)), roughly
+    halving round count on FEM bands whose rows sit at staggered panel
+    offsets, at the cost of a second gather + select in the kernel.
     """
     m, n = a.shape
     if sub <= 0:
         sub = pick_sub(a)
-    rpt = SUBLANES * sub       # rows per tile
-    lps = LANES // sub         # lanes (slots) per row segment
-    ngroups = -(-max(m, 1) // rpt)
+    lps = LANES // sub
+    rpb = SUBLANES * sub          # rows per block
+    nblocks = -(-max(m, 1) // rpb)
+    ns = max(th // SUBLANES, 1)
     indptr = a.indptr.astype(np.int64)
     cols = a.indices.astype(np.int64)
     data = a.data
-    span = pmax * 128
 
-    val_tiles, col_tiles = [], []
-    tile_group, tile_wrow, tile_first = [], [], []
-
-    for g in range(ngroups):
-        r0 = g * rpt
-        r1 = min(r0 + rpt, m)
-        nr = r1 - r0
-        pos = indptr[r0:r1].copy()
-        end = indptr[r0 + 1: r1 + 1].copy()
-        first = True
+    rounds = []  # (wrow, obase, vt(8,128), ct(8,128))
+    for blk in range(nblocks):
+        r0 = blk * rpb
+        r1 = min(r0 + rpb, m)
+        # per-row chunk queues
+        row_chunks = []
+        for rl in range(r1 - r0):
+            r = r0 + rl
+            p0, p1 = indptr[r], indptr[r + 1]
+            if p1 <= p0:
+                continue
+            c = cols[p0:p1]
+            v = data[p0:p1]
+            pan = c // LANES
+            chunks = []
+            i = 0
+            L = len(c)
+            while i < L:
+                p = pan[i]
+                j = i + 1
+                while j < L and pan[j] == p and j - i < lps:
+                    j += 1
+                chunks.append((int(p), v[i:j], c[i:j] - p * LANES))
+                i = j
+            row_chunks.append((rl, chunks))
+        if not row_chunks:
+            continue
+        nexts = {rl: 0 for rl, _ in row_chunks}
+        chmap = dict(row_chunks)
         while True:
-            active = pos < end
-            if not active.any():
+            pending = [(chmap[rl][nexts[rl]][0], rl) for rl in nexts
+                       if nexts[rl] < len(chmap[rl])]
+            if not pending:
                 break
-            wlo = int(cols[pos[active]].min())
-            w = wlo // 128
-            hi = w * 128 + span
+            wsel = min(p for p, _ in pending)
             vt = np.zeros((SUBLANES, LANES), dtype=data.dtype)
             ct = np.zeros((SUBLANES, LANES), dtype=np.int64)
-            for rl in range(nr):
-                if pos[rl] >= end[rl]:
-                    continue
-                stop = int(np.searchsorted(cols[pos[rl]: end[rl]], hi)) + pos[rl]
-                take = min(stop - pos[rl], lps)
-                if take > 0:
+            for p, rl in pending:
+                if p <= wsel + nwin - 1:
+                    _, v, lc = chmap[rl][nexts[rl]]
                     s, k = divmod(rl, sub)
-                    sl = slice(pos[rl], pos[rl] + take)
-                    vt[s, k * lps: k * lps + take] = data[sl]
-                    ct[s, k * lps: k * lps + take] = cols[sl] - w * 128
-                    pos[rl] += take
-            val_tiles.append(vt)
-            col_tiles.append(ct)
-            tile_group.append(g)
-            tile_wrow.append(w)
-            tile_first.append(1 if first else 0)
-            first = False
-        if first:
-            val_tiles.append(np.zeros((SUBLANES, LANES), dtype=data.dtype))
-            col_tiles.append(np.zeros((SUBLANES, LANES), dtype=np.int64))
-            tile_group.append(g)
-            tile_wrow.append(0)
-            tile_first.append(1)
+                    vt[s, k * lps: k * lps + len(v)] = v
+                    ct[s, k * lps: k * lps + len(lc)] = lc + (p - wsel) * LANES
+                    nexts[rl] += 1
+            rounds.append((wsel, blk, vt, ct))
 
-    T = len(val_tiles)
+    if not rounds:
+        rounds.append((0, 0, np.zeros((SUBLANES, LANES), dtype=data.dtype),
+                       np.zeros((SUBLANES, LANES), dtype=np.int64)))
+    R = len(rounds)
+    T = -(-R // ns)
+    del_nwin = nwin  # stored below
+    val = np.zeros((T * ns * SUBLANES, LANES), dtype=data.dtype)
+    lcol = np.zeros((T * ns * SUBLANES, LANES), dtype=np.int64)
+    wrow = np.zeros(T * ns, dtype=np.int64)
+    obase = np.zeros(T * ns, dtype=np.int64)
+    for i, (w, b, vt, ct) in enumerate(rounds):
+        val[i * SUBLANES: (i + 1) * SUBLANES] = vt
+        lcol[i * SUBLANES: (i + 1) * SUBLANES] = ct
+        wrow[i] = w
+        obase[i] = b
+    y_rows = ((nblocks * SUBLANES + 7) // 8) * 8
+
     return WSell(
-        m=m, n=n, nnz=a.nnz, sub=sub, pmax=pmax, num_tiles=T,
-        num_groups=ngroups,
-        val=np.concatenate(val_tiles, axis=0),
-        lcol=np.concatenate(col_tiles, axis=0).astype(INDEX_DTYPE),
-        tile_group=np.asarray(tile_group, dtype=INDEX_DTYPE),
-        tile_wrow=np.asarray(tile_wrow, dtype=INDEX_DTYPE),
-        tile_first=np.asarray(tile_first, dtype=INDEX_DTYPE),
-        x2d_rows=-(-n // 128) + pmax,
+        m=m, n=n, nnz=a.nnz, th=ns * SUBLANES, sub=sub, nwin=nwin,
+        num_tiles=T, num_rounds=R,
+        val=val, lcol=lcol.astype(INDEX_DTYPE),
+        round_wrow=wrow.astype(INDEX_DTYPE),
+        round_obase=obase.astype(INDEX_DTYPE),
+        x2d_rows=-(-n // 128) + 1,
+        y_rows=y_rows,
     )
 
 
@@ -166,24 +214,27 @@ def wsell_to_dense(w: WSell) -> np.ndarray:
     """Reconstruct the dense matrix from a w-SELL packing (test helper)."""
     out = np.zeros((w.m, w.n), dtype=np.float64)
     lps = LANES // w.sub
-    for t in range(w.num_tiles):
-        g = int(w.tile_group[t])
-        wbase = int(w.tile_wrow[t]) * 128
+    for i in range(w.num_rounds):
+        wbase = int(w.round_wrow[i]) * LANES
+        blk = int(w.round_obase[i])
         for s in range(SUBLANES):
+            arow = i * SUBLANES + s
             for j in range(LANES):
-                v = w.val[t * SUBLANES + s, j]
+                v = w.val[arow, j]
                 if v != 0.0:
                     k = j // lps
-                    row = g * w.rows_per_tile + s * w.sub + k
-                    out[row, wbase + int(w.lcol[t * SUBLANES + s, j])] += v
+                    row = blk * w.rows_per_block + s * w.sub + k
+                    out[row, wbase + int(w.lcol[arow, j])] += v
     return out.astype(w.val.dtype)
 
 
 def pack_efficiency_report(w: WSell) -> dict:
     return {
+        "th": w.th,
         "sub": w.sub,
+        "nwin": w.nwin,
         "fill": w.fill,
         "tiles": w.num_tiles,
-        "tiles_per_group": w.num_tiles / max(w.num_groups, 1),
+        "rounds": w.num_rounds,
         "bytes_per_nnz": w.bytes_per_iter / max(w.nnz, 1),
     }

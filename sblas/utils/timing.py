@@ -66,29 +66,52 @@ def measure_seconds_per_iter(
     closed over: on the axon remote-compile path, closure-captured arrays are
     embedded as HLO constants and shipped to the compiler — a 100 MB constant
     turns a 1 s compile into minutes (measured).
+
+    Methodology: adaptive iteration growth. The axon tunnel adds tens of ms
+    of dispatch overhead and has been observed to mis-report completion for
+    short runs, so we grow the trip count until the k-iteration run takes
+    clearly longer than the 1-iteration run (or a wall budget is hit), then
+    report (t(k) - t(1)) / (k - 1). Raises RuntimeError if time never scales
+    with k — a sign the device/tunnel is not executing the loop honestly.
     """
 
     @jax.jit
     def run(x, k, *a):
         return lax.fori_loop(0, k, lambda i, c: step(c, *a), x)
 
-    lo = jnp.int32(iters_lo)
-    hi = jnp.int32(iters_hi)
-    jax.block_until_ready(run(init, lo, *args))  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
+    def fetch(r):
+        # jax.block_until_ready has been observed to return EARLY through the
+        # axon tunnel (loop of 5120 iters "completing" in 0.1 ms); a value
+        # readback is the only trustworthy completion barrier. The readback
+        # round-trip is constant and cancels in the marginal measurement.
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        import numpy as _np
+        _np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+
+    def timed(k):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(init, lo, *args))
-        t1 = time.perf_counter()
-        jax.block_until_ready(run(init, hi, *args))
-        t2 = time.perf_counter()
-        per = ((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo)
-        if per > 0:
-            best = min(best, per)
-    if best == float("inf"):  # noisy environment; fall back to hi-run average
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(init, hi, *args))
-        best = (time.perf_counter() - t0) / iters_hi
+        fetch(run(init, jnp.int32(k), *args))
+        return time.perf_counter() - t0
+
+    fetch(run(init, jnp.int32(1), *args))  # compile + warm
+    t1 = min(timed(1), timed(1))
+    k = max(iters_lo, 2)
+    budget_t = max(20.0 * t1, 0.25)
+    while True:
+        tk = timed(k)
+        if tk > 3.0 * t1 or tk > budget_t or k >= 4096:
+            break
+        k *= 4
+    if tk <= 1.05 * t1 and k > 2:
+        raise RuntimeError(
+            f"iteration time did not scale (t1={t1:.4f}s, t{k}={tk:.4f}s); "
+            "device timing is untrustworthy in this process"
+        )
+    best = (tk - t1) / (k - 1)
+    for _ in range(max(repeats - 1, 0)):
+        tk = timed(k)
+        if tk > t1:
+            best = min(best, (tk - t1) / (k - 1))
     return best
 
 

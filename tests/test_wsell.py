@@ -14,15 +14,15 @@ def test_pack_roundtrip(gen):
         a = datasets.random_csr(200, 200, 12, bandwidth=40, seed=2)
     else:
         a = datasets.random_csr(64, 64, 4, bandwidth=8, seed=3)
-    w = pack_wsell(a, pmax=4)
+    w = pack_wsell(a)
     np.testing.assert_allclose(wsell_to_dense(w), a.todense())
 
 
 def test_pack_wide_matrix_multi_window():
-    # columns span many panels -> multiple tiles per slice
+    # columns span many panels -> multiple rounds per row block
     a = datasets.random_csr(16, 2000, 40, seed=4)
-    w = pack_wsell(a, pmax=2)
-    assert w.num_tiles > 2
+    w = pack_wsell(a)
+    assert w.num_rounds > 2
     np.testing.assert_allclose(wsell_to_dense(w), a.todense())
 
 
@@ -35,9 +35,9 @@ def test_pack_empty_rows():
 
 
 def test_fem_fill_reasonable():
-    a = datasets.emulate("cant", scale=0.02)
-    w = pack_wsell(a, pmax=4)
-    assert w.fill > 0.3, w.fill
+    a = datasets.emulate("cant", scale=0.2)
+    w = pack_wsell(a)
+    assert w.fill > 0.5, w.fill
 
 
 @pytest.mark.parametrize("gen", ["banded", "fem"])
@@ -51,7 +51,7 @@ def test_pallas_spmv_interpret(gen):
                                 dtype=np.float32)
     import jax.numpy as jnp
 
-    p = PallasSpmv(a)
+    p = PallasSpmv(a, min_fill=0.0)
     x = np.random.default_rng(7).standard_normal(a.shape[1]).astype(np.float32)
     import jax
 
