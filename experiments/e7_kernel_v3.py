@@ -17,9 +17,9 @@ for name in ("cant", "pwtk"):
     m, n = a.shape
     P(f"--- {name} {m} nnz={a.nnz}")
     x0j = jnp.asarray(np.random.default_rng(0).standard_normal(n).astype(np.float32))
-    for (sub, nwin, th) in ((16, 2, 256), (16, 1, 256), (8, 2, 256), (16, 2, 512)):
+    for (sub, nwin, th, wg) in ((16, 2, 512, 4), (16, 2, 1024, 8), (16, 2, 512, 8)):
         try:
-            p = PallasSpmv(a, sub=sub, nwin=nwin, th=th, min_fill=0.0)
+            p = PallasSpmv(a, sub=sub, nwin=nwin, th=th, wgroup=wg, min_fill=0.0)
             y = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(), x0j))
             err = rel_err(y, spmv_golden(a, np.asarray(x0j)))
             def step(x, arrs, x0, p=p):
@@ -27,9 +27,9 @@ for name in ("cant", "pwtk"):
             per = measure_seconds_per_iter(step, x0j, p.device_arrays(), x0j,
                                            iters_lo=4, iters_hi=16, repeats=2)
             by = p.bytes_per_iter + 2 * n * 4
-            P(f"sub={sub} nwin={nwin} th={th}: err={err:.1e} "
+            P(f"sub={sub} nwin={nwin} th={th} wg={wg}: err={err:.1e} "
               f"{per*1e3:7.3f} ms {by/per/1e9:6.1f} GB/s "
               f"({100*by/per/1e9/sbw:4.1f}% stream) {2*a.nnz/per/1e9:6.1f} GFLOP/s "
               f"fill={p.layout.fill:.2f}")
         except Exception as e:
-            P(f"sub={sub} nwin={nwin} th={th}: FAIL {str(e)[:150]}")
+            P(f"sub={sub} nwin={nwin} th={th} wg={wg}: FAIL {str(e)[:150]}")

@@ -36,9 +36,11 @@ _VMEM_X_LIMIT = 24 * (1 << 20)   # stage x fully in VMEM up to this size
 _VMEM_Y_LIMIT = 8 * (1 << 20)    # y accumulator cap
 
 
-def _kernel(th, sub, nwin):
+def _kernel(th, sub, nwin, wgroup):
     lps = LANES // sub
     ns = th // SUBLANES
+    ngrp = ns // wgroup
+    gh = wgroup * SUBLANES        # rows per window group
 
     def kern(wrow_ref, obase_ref, x2d_ref, val_ref, col_ref, out_ref):
         t = pl.program_id(0)
@@ -51,31 +53,33 @@ def _kernel(th, sub, nwin):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        def round_body(i, carry):
-            w = wrow_ref[t * ns + i]
-            b = obase_ref[t * ns + i]
-            v = val_ref[pl.ds(i * SUBLANES, SUBLANES), :]
-            c = col_ref[pl.ds(i * SUBLANES, SUBLANES), :]
-            xw = x2d_ref[pl.ds(w, 1), :]                   # (1, 128)
-            table = jnp.broadcast_to(xw, (SUBLANES, 128))
+        # Static unroll: Mosaic does not pipeline fori_loop iterations
+        # (measured 80 ns/iteration of pure loop overhead).
+        for q in range(ngrp):
+            w = wrow_ref[t * ns + q * wgroup]
+            v = val_ref[q * gh:(q + 1) * gh, :].astype(jnp.float32)
+            c = col_ref[q * gh:(q + 1) * gh, :]
+            xw = x2d_ref[pl.ds(w, 1), :]                    # (1, 128)
+            table = jnp.broadcast_to(xw, (gh, 128))
             if nwin == 1:
                 g = jnp.take_along_axis(table, c, axis=1)
             else:
                 xw1 = x2d_ref[pl.ds(w + 1, 1), :]
-                table1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+                table1 = jnp.broadcast_to(xw1, (gh, 128))
                 g0 = jnp.take_along_axis(table, jnp.minimum(c, 127), axis=1)
                 g1 = jnp.take_along_axis(table1, jnp.maximum(c - 128, 0),
                                          axis=1)
                 g = jnp.where(c < 128, g0, g1)
-            part = jnp.dot(v.astype(jnp.float32) * g, seg,
+            part = jnp.dot(v * g, seg,
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)   # (8, sub)
-            slab = b * SUBLANES
-            cur = out_ref[pl.ds(slab, SUBLANES), :]
-            out_ref[pl.ds(slab, SUBLANES), :] = cur + part
-            return carry
-
-        jax.lax.fori_loop(0, ns, round_body, 0)
+                           precision=jax.lax.Precision.HIGHEST)  # (gh, sub)
+            for j in range(wgroup):
+                b = obase_ref[t * ns + q * wgroup + j]
+                slab = b * SUBLANES
+                cur = out_ref[pl.ds(slab, SUBLANES), :]
+                out_ref[pl.ds(slab, SUBLANES), :] = (
+                    cur + part[j * SUBLANES:(j + 1) * SUBLANES]
+                )
 
     return kern
 
@@ -84,7 +88,7 @@ class PallasSpmv:
     """w-SELL Pallas SpMV executor for one CSR matrix."""
 
     def __init__(self, a: CSR, *, th: int = 256, sub: int = 0,
-                 nwin: int = 2, min_fill: float = 0.25):
+                 nwin: int = 2, wgroup: int = 8, min_fill: float = 0.2):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         m, n = a.shape
@@ -94,7 +98,7 @@ class PallasSpmv:
                 f"x ({x_bytes >> 20} MB) exceeds VMEM staging limit; "
                 "use the XLA path or the multi-chip partitioner"
             )
-        w = pack_wsell(a, th=th, sub=sub, nwin=nwin)
+        w = pack_wsell(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
         if w.y_rows * w.sub * 4 > _VMEM_Y_LIMIT:
             raise ValueError("y exceeds VMEM accumulator limit")
         if w.fill < min_fill:
@@ -130,7 +134,7 @@ class PallasSpmv:
         )
 
         return pl.pallas_call(
-            _kernel(w.th, w.sub, w.nwin),
+            _kernel(w.th, w.sub, w.nwin, w.wgroup),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((w.y_rows, w.sub), jnp.float32),
             interpret=interpret,

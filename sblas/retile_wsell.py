@@ -47,6 +47,7 @@ class WSell:
     th: int             # physical tile height (a multiple of 8)
     sub: int            # row segments per sublane
     nwin: int           # panels per round window (1 or 2)
+    wgroup: int         # rounds per shared-window group
     num_tiles: int
     num_rounds: int
     # Per-tile arrays; tile t occupies array rows [t*th, (t+1)*th):
@@ -117,7 +118,8 @@ def pick_sub(a: CSR) -> int:
     return best_sub
 
 
-def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2) -> WSell:
+def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2,
+               wgroup: int = 8) -> WSell:
     """Pack a CSR matrix into w-SELL v3 tiles.
 
     ``nwin`` (1 or 2): panels per round window. With 2, a round admits rows
@@ -185,9 +187,30 @@ def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2) -> WSell:
     if not rounds:
         rounds.append((0, 0, np.zeros((SUBLANES, LANES), dtype=data.dtype),
                        np.zeros((SUBLANES, LANES), dtype=np.int64)))
+
+    # Kernel processes rounds in groups of ``wgroup`` sharing one x-window
+    # (one dynamic slice + one big gather + one big MXU reduce per group —
+    # measured 2x faster than per-round ops). Sort rounds by window and pad
+    # each window's run to a multiple of wgroup with zero rounds.
+    rounds.sort(key=lambda r: (r[0], r[1]))
+    grouped = []
+    i = 0
+    while i < len(rounds):
+        j = i
+        w0 = rounds[i][0]
+        while j < len(rounds) and rounds[j][0] == w0:
+            j += 1
+        grouped.extend(rounds[i:j])
+        pad = (-(j - i)) % wgroup
+        for _ in range(pad):
+            grouped.append((w0, 0,
+                            np.zeros((SUBLANES, LANES), dtype=data.dtype),
+                            np.zeros((SUBLANES, LANES), dtype=np.int64)))
+        i = j
+    rounds = grouped
+    assert th % (wgroup * SUBLANES) == 0, "th must hold whole window groups"
     R = len(rounds)
     T = -(-R // ns)
-    del_nwin = nwin  # stored below
     val = np.zeros((T * ns * SUBLANES, LANES), dtype=data.dtype)
     lcol = np.zeros((T * ns * SUBLANES, LANES), dtype=np.int64)
     wrow = np.zeros(T * ns, dtype=np.int64)
@@ -201,7 +224,7 @@ def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2) -> WSell:
 
     return WSell(
         m=m, n=n, nnz=a.nnz, th=ns * SUBLANES, sub=sub, nwin=nwin,
-        num_tiles=T, num_rounds=R,
+        wgroup=wgroup, num_tiles=T, num_rounds=R,
         val=val, lcol=lcol.astype(INDEX_DTYPE),
         round_wrow=wrow.astype(INDEX_DTYPE),
         round_obase=obase.astype(INDEX_DTYPE),

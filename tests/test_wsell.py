@@ -37,7 +37,7 @@ def test_pack_empty_rows():
 def test_fem_fill_reasonable():
     a = datasets.emulate("cant", scale=0.2)
     w = pack_wsell(a)
-    assert w.fill > 0.5, w.fill
+    assert w.fill > 0.4, w.fill  # window-group padding costs ~20%
 
 
 @pytest.mark.parametrize("gen", ["banded", "fem"])
@@ -67,3 +67,18 @@ def test_pallas_rejects_f64_and_scattered():
     scattered = datasets.random_csr(512, 100000, 4, seed=9, dtype=np.float32)
     with pytest.raises(ValueError):
         PallasSpmv(scattered)
+
+
+@pytest.mark.parametrize("k", [1, 8])
+def test_pallas_spmm_interpret(k):
+    import jax
+    import jax.numpy as jnp
+    from sblas.ops.kernels.spmm_pallas import PallasSpmm
+    from sblas.golden import spmm_golden
+
+    a = datasets.random_csr(256, 256, 10, bandwidth=30, seed=16,
+                            dtype=np.float32)
+    p = PallasSpmm(a, min_fill=0.0)
+    x = np.random.default_rng(17).standard_normal((256, k)).astype(np.float32)
+    y = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(), jnp.asarray(x)))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
