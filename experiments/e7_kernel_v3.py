@@ -17,7 +17,7 @@ for name in ("cant", "pwtk"):
     m, n = a.shape
     P(f"--- {name} {m} nnz={a.nnz}")
     x0j = jnp.asarray(np.random.default_rng(0).standard_normal(n).astype(np.float32))
-    for (sub, nwin, th, wg) in ((16, 2, 512, 4), (16, 2, 1024, 8), (16, 2, 512, 8)):
+    for (sub, nwin, th, wg) in ((16, 2, 1024, 4),):
         try:
             p = PallasSpmv(a, sub=sub, nwin=nwin, th=th, wgroup=wg, min_fill=0.0)
             y = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(), x0j))

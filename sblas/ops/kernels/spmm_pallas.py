@@ -80,8 +80,8 @@ class PallasSpmm:
     """w-SELL Pallas SpMM executor for one CSR matrix (fixed K per call
     signature; compiled per K)."""
 
-    def __init__(self, a: CSR, *, th: int = 256, sub: int = 0,
-                 nwin: int = 2, wgroup: int = 8, min_fill: float = 0.2):
+    def __init__(self, a: CSR, *, th: int = 1024, sub: int = 0,
+                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         m, n = a.shape
