@@ -1,0 +1,383 @@
+"""Pallas TPU SpTRSV kernel: level-set wavefront entirely on-chip
+(SURVEY.md C7/C8 fast path).
+
+Host analysis:
+  1. level-set levels via the native C++ sweep (sblas.native),
+  2. stable sort rows by level -> permutation P; the solve runs on the
+     renumbered system (P L P^T)(P x) = P b, which is still lower-triangular
+     because level order is topological,
+  3. levels padded to whole 128-row blocks (block = the solve unit: 128
+     renumbered rows = one lane-row of the VMEM x2d buffer; rows within a
+     block are same-level, hence independent),
+  4. each block's off-diagonal row chunks pack into w-SELL-style rounds
+     (8 sublanes x 16 segments, 2-panel windows).
+
+Device solve (one pallas_call, sequential TPU grid):
+  x lives in VMEM as x2d[(n_pad/128), 128] — both the gather source for
+  dependencies and the write target for solved blocks, so the whole
+  wavefront never touches HBM except streaming the schedule. Per round:
+  window-gather deps from x2d, multiply, MXU segment-reduce into a VMEM
+  accumulator; on a block's last round, solve
+  (b - acc) * inv_diag and write the 128 solved values back as one x2d
+  lane-row (8 static sublane stores). Round order respects the level
+  topology, and the TPU grid is sequential, so no synchronization is needed
+  at all — the reference needs a kernel launch per level (SURVEY.md §3.3);
+  here a level boundary costs nothing.
+
+The deep-narrow-level tail (levels << 128 rows) pads heavily — the known
+TPU SpTRSV hard part (SURVEY.md §7 hard part 2); the dense-tail hybrid is
+future work. f64 falls back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...formats import CSR, INDEX_DTYPE
+from ... import native
+
+SUBLANES = 8
+LANES = 128
+SUB = 16          # segments per sublane: block = 8*16 = 128 rows
+LPS = LANES // SUB
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class TrsvLayout:
+    n: int
+    nnz: int
+    nlevels: int
+    num_blocks: int
+    num_tiles: int
+    th: int
+    perm: np.ndarray          # permuted position -> original row
+    slot_of_row: np.ndarray   # original row -> padded slot
+    val: np.ndarray           # (T*th, 128) off-diagonal chunks
+    lcol: np.ndarray          # (T*th, 128) int32 in [0, 256)
+    round_wrow: np.ndarray    # (T*th/8,)
+    round_oblk: np.ndarray    # (T*th/8,) block index
+    round_final: np.ndarray   # (T*th/8,) 1 = last round of its block
+    round_bfirst: np.ndarray  # (T*th/8,) 1 = first round of its block
+    inv_diag: np.ndarray      # (num_blocks*8, 16)
+    x2d_rows: int
+
+
+def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
+                 th: int = 256) -> TrsvLayout:
+    n = l.shape[0]
+    levels, nlevels = native.level_schedule(l.indptr, l.indices, n,
+                                            lower=lower)
+    order = np.lexsort((np.arange(n), levels))  # stable by (level, row)
+    if not lower:
+        # upper-triangular: reverse level order solves from the bottom
+        order = order[::-1].copy()
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+
+    # pad each level to a whole number of 128-row blocks
+    level_sizes = np.bincount(levels, minlength=nlevels)
+    if not lower:
+        level_sizes = level_sizes[::-1]
+    padded = ((level_sizes + 127) // 128) * 128
+    n_pad = int(padded.sum())
+    num_blocks = n_pad // 128
+    # permuted-padded position of each permuted row
+    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    lvl_of_sorted = levels[order] if lower else levels[order]
+    # position within level
+    pos_in_level = np.zeros(n, dtype=np.int64)
+    _, inv_counts = np.unique(lvl_of_sorted, return_index=True)
+    # compute positions via groupby on sorted levels
+    change = np.ones(n, dtype=bool)
+    change[1:] = lvl_of_sorted[1:] != lvl_of_sorted[:-1]
+    grp_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+    pos_in_level = np.arange(n) - grp_start
+    lvl_index = np.cumsum(change) - 1  # dense level index in sorted order
+    padded_pos = starts[lvl_index] + pos_in_level  # (n,) padded slot of
+    #                                               sorted position i
+
+    # slot (padded id) of each original row
+    slot_of_row = np.empty(n, dtype=np.int64)
+    slot_of_row[order] = padded_pos
+    # original row of each slot (or -1)
+    row_of_slot = np.full(n_pad, -1, dtype=np.int64)
+    row_of_slot[padded_pos] = order
+
+    indptr = l.indptr.astype(np.int64)
+    cols = l.indices.astype(np.int64)
+    data = l.data
+
+    # diagonal
+    diag = np.ones(n, dtype=np.float64)
+    if not unit_diagonal:
+        coo_rows = l.row_ids().astype(np.int64)
+        dm = coo_rows == cols
+        got = np.zeros(n, dtype=bool)
+        got[coo_rows[dm]] = True
+        if not got.all():
+            raise ValueError("rows missing diagonal entries")
+        diag[coo_rows[dm]] = data[dm]
+        if np.any(diag == 0.0):
+            raise ValueError("zero diagonal; singular matrix")
+
+    inv_diag = np.ones((num_blocks * SUBLANES, SUB), dtype=np.float32)
+    for blk in range(num_blocks):
+        for loff in range(128):
+            r = row_of_slot[blk * 128 + loff]
+            if r >= 0:
+                s, k = divmod(loff, SUB)
+                inv_diag[blk * SUBLANES + s, k] = 1.0 / diag[r]
+
+    # rounds per block
+    rounds = []  # (wrow, blk, final, vt, ct)
+    off = (cols < l.row_ids()) if lower else (cols > l.row_ids())
+    for blk in range(num_blocks):
+        row_chunks = []
+        for loff in range(128):
+            r = row_of_slot[blk * 128 + loff]
+            if r < 0:
+                continue
+            p0, p1 = indptr[r], indptr[r + 1]
+            sel = off[p0:p1]
+            if not sel.any():
+                continue
+            c_orig = cols[p0:p1][sel]
+            v = data[p0:p1][sel]
+            c_slot = slot_of_row[c_orig]   # renumbered dependency columns
+            o = np.argsort(c_slot, kind="stable")
+            c_slot, v = c_slot[o], v[o]
+            pan = c_slot // LANES
+            chunks = []
+            i = 0
+            L = len(c_slot)
+            while i < L:
+                p = pan[i]
+                j = i + 1
+                # single-panel chunks; the 2-panel window comes from round
+                # membership (p in {w, w+1}), matching retile_wsell
+                while j < L and pan[j] == p and j - i < LPS:
+                    j += 1
+                chunks.append((int(p), v[i:j], c_slot[i:j] - p * LANES))
+                i = j
+            row_chunks.append((loff, chunks))
+        if not row_chunks:
+            # block still must be "solved" (pure b/diag): emit one empty round
+            rounds.append((0, blk, 1, 1,
+                           np.zeros((SUBLANES, LANES), dtype=data.dtype),
+                           np.zeros((SUBLANES, LANES), dtype=np.int64)))
+            continue
+        nexts = {lo: 0 for lo, _ in row_chunks}
+        chmap = dict(row_chunks)
+        blk_rounds = []
+        while True:
+            pending = [(chmap[lo][nexts[lo]][0], lo) for lo in nexts
+                       if nexts[lo] < len(chmap[lo])]
+            if not pending:
+                break
+            wsel = min(p for p, _ in pending)
+            vt = np.zeros((SUBLANES, LANES), dtype=data.dtype)
+            ct = np.zeros((SUBLANES, LANES), dtype=np.int64)
+            for p, lo in pending:
+                if p <= wsel + 1:
+                    _, v, lc = chmap[lo][nexts[lo]]
+                    s, k = divmod(lo, SUB)
+                    vt[s, k * LPS: k * LPS + len(v)] = v
+                    ct[s, k * LPS: k * LPS + len(lc)] = lc + (p - wsel) * LANES
+                    nexts[lo] += 1
+            blk_rounds.append((wsel, blk, 0, 0, vt, ct))
+        blk_rounds[0] = blk_rounds[0][:3] + (1,) + blk_rounds[0][4:]
+        blk_rounds[-1] = blk_rounds[-1][:2] + (1,) + blk_rounds[-1][3:]
+        rounds.extend(blk_rounds)
+
+    ns = th // SUBLANES
+    R = len(rounds)
+    T = -(-R // ns)
+    val = np.zeros((T * th, LANES), dtype=data.dtype)
+    lcol = np.zeros((T * th, LANES), dtype=np.int64)
+    wrow = np.zeros(T * ns, dtype=np.int64)
+    oblk = np.zeros(T * ns, dtype=np.int64)
+    # pad rounds: non-final, block 0... must NOT trigger solve; use final=0
+    # and block = num_blocks (a dump accumulator slab).
+    final = np.zeros(T * ns, dtype=np.int64)
+    bfirst = np.ones(T * ns, dtype=np.int64)  # pad rounds SET the dump slab
+    oblk[:] = num_blocks
+    for i, (w, b, f, bf, vt, ct) in enumerate(rounds):
+        val[i * SUBLANES:(i + 1) * SUBLANES] = vt
+        lcol[i * SUBLANES:(i + 1) * SUBLANES] = ct
+        wrow[i] = w
+        oblk[i] = b
+        final[i] = f
+        bfirst[i] = bf
+
+    return TrsvLayout(
+        n=n, nnz=l.nnz, nlevels=nlevels, num_blocks=num_blocks,
+        num_tiles=T, th=th, perm=order.astype(INDEX_DTYPE),
+        slot_of_row=slot_of_row.astype(INDEX_DTYPE),
+        val=val, lcol=lcol.astype(INDEX_DTYPE),
+        round_wrow=wrow.astype(INDEX_DTYPE),
+        round_oblk=oblk.astype(INDEX_DTYPE),
+        round_final=final.astype(INDEX_DTYPE),
+        round_bfirst=bfirst.astype(INDEX_DTYPE),
+        inv_diag=inv_diag,
+        x2d_rows=num_blocks + 1,
+    )
+
+
+def _kernel(th):
+    ns = th // SUBLANES
+
+    def kern(wrow_ref, oblk_ref, final_ref, bfirst_ref, b_ref, invd_ref,
+             val_ref, col_ref, x2d_ref, acc_ref):
+        # acc is an OUTPUT (not scratch): scratch does not persist across
+        # grid steps in interpret mode; outputs do on both paths.
+        t = pl.program_id(0)
+
+        seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0) // LPS
+               == jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 1)
+               ).astype(jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            x2d_ref[:] = jnp.zeros_like(x2d_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for i in range(ns):
+            w = wrow_ref[t * ns + i]
+            b = oblk_ref[t * ns + i]
+            fin = final_ref[t * ns + i]
+            bfirst = bfirst_ref[t * ns + i]
+            v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.float32)
+            c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :]
+            xw = x2d_ref[pl.ds(w, 1), :]
+            tab0 = jnp.broadcast_to(xw, (SUBLANES, 128))
+            xw1 = x2d_ref[pl.ds(w + 1, 1), :]
+            tab1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+            g0 = jnp.take_along_axis(tab0, jnp.minimum(c, 127), axis=1)
+            g1 = jnp.take_along_axis(tab1, jnp.maximum(c - 128, 0), axis=1)
+            g = jnp.where(c < 128, g0, g1)
+            part = jnp.dot(v * g, seg, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (8, SUB)
+            slab = b * SUBLANES
+            # first round of a block SETS its slab (no dependence on buffer
+            # init semantics); later rounds accumulate.
+            acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
+            acc_new = jnp.where(bfirst == 1, part, acc_cur + part)
+            acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
+
+            @pl.when(fin == 1)
+            def _():
+                bv = b_ref[pl.ds(slab, SUBLANES), :]
+                idg = invd_ref[pl.ds(slab, SUBLANES), :]
+                solved = (bv - acc_new) * idg            # (8, 16)
+                # write back as one x2d lane-row: lane l = s*16 + k
+                for s in range(SUBLANES):
+                    x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                        solved[s:s + 1, :]
+                    )
+
+    return kern
+
+
+class PallasSptrsv:
+    """Level-set Pallas SpTRSV executor (single chip)."""
+
+    def __init__(self, l: CSR, *, lower: bool = True,
+                 unit_diagonal: bool = False, th: int = 256):
+        if l.dtype == np.float64:
+            raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th)
+        self.layout = lay
+        self.shape = l.shape
+        self.dtype = l.dtype
+        self.nlevels = lay.nlevels
+        self.bytes_per_iter = lay.val.size * 8 + lay.n * 8
+        self._val = jnp.asarray(lay.val)
+        self._lcol = jnp.asarray(lay.lcol)
+        self._wr = jnp.asarray(lay.round_wrow)
+        self._ob = jnp.asarray(lay.round_oblk)
+        self._fin = jnp.asarray(lay.round_final)
+        self._bfirst = jnp.asarray(lay.round_bfirst)
+        self._invd = jnp.asarray(lay.inv_diag)
+        self._perm = jnp.asarray(lay.perm)
+        self._unperm = jnp.asarray(lay.slot_of_row)
+        # b layout map: b2d[blk*8+s, k] = b_perm[blk*128 + s*16 + k]
+        self._call = self._build()
+
+    def _build(self):
+        lay = self.layout
+        interpret = jax.default_backend() == "cpu"
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(lay.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # b2d
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # invd
+                pl.BlockSpec((lay.th, LANES), lambda t, wr, ob, fin, bf: (t, 0)),
+                pl.BlockSpec((lay.th, LANES), lambda t, wr, ob, fin, bf: (t, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # acc
+            ),
+        )
+        return pl.pallas_call(
+            _kernel(lay.th),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((lay.x2d_rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct(((lay.num_blocks + 1) * SUBLANES, SUB),
+                                     jnp.float32),
+            ),
+            interpret=interpret,
+        )
+
+    def device_arrays(self):
+        return {"wr": self._wr, "ob": self._ob, "fin": self._fin,
+                "bfirst": self._bfirst,
+                "val": self._val, "lcol": self._lcol, "invd": self._invd,
+                "perm": self._perm, "unperm": self._unperm}
+
+    def solve_permuted(self, arrs, b2d):
+        """Core solve on the renumbered system: b2d (num_blocks*8, 16) ->
+        x2d (x2d_rows, 128). No permutation gathers — the benchmark path."""
+        x2d, _acc = self._call(arrs["wr"], arrs["ob"], arrs["fin"],
+                               arrs["bfirst"], b2d,
+                               arrs["invd"], arrs["val"], arrs["lcol"])
+        return x2d
+
+    def b_to_b2d(self, b: np.ndarray) -> np.ndarray:
+        """Host-side permute+pad of b (numpy, fast)."""
+        lay = self.layout
+        b_pad = np.zeros(lay.num_blocks * 128, dtype=np.float32)
+        b_pad[np.asarray(lay.slot_of_row)] = np.asarray(b, dtype=np.float32)
+        return b_pad.reshape(lay.num_blocks * SUBLANES, SUB)
+
+    def x2d_to_x(self, x2d: np.ndarray) -> np.ndarray:
+        """Host-side unpermute of the solve result (numpy, fast)."""
+        lay = self.layout
+        flat = np.asarray(x2d)[: lay.num_blocks].reshape(-1)
+        return flat[np.asarray(lay.slot_of_row)].astype(self.dtype)
+
+    def apply_pure(self, arrs, b):
+        """Device-composable solve. The permutation gathers use XLA gather,
+        which is slow on TPU (~0.2 Gelem/s measured) — for repeated solves
+        prefer solve_permuted with host-side b_to_b2d/x2d_to_x."""
+        lay = self.layout
+        n = lay.n
+        # scatter b into padded-slot order (padding is inserted per level,
+        # not appended)
+        b_pad = jnp.zeros(lay.num_blocks * 128, jnp.float32)
+        b_pad = b_pad.at[arrs["unperm"]].set(b.astype(jnp.float32))
+        b2d = b_pad.reshape(lay.num_blocks * SUBLANES, SUB)
+        x2d = self.solve_permuted(arrs, b2d)
+        x_perm = x2d[: lay.num_blocks].reshape(-1)
+        return x_perm[arrs["unperm"]].astype(self.dtype)
+
+    def apply_traced(self, b):
+        return self.apply_pure(self.device_arrays(), b)

@@ -59,6 +59,25 @@ class SptrsvPlan:
         self.dtype = l.dtype
         self.lower = lower
         self.unit_diagonal = unit_diagonal
+        if method == "auto":
+            method = "tiles"
+            if l.dtype != np.float64 and jax.default_backend() != "cpu":
+                # XLA gather is ~1 GB/s serial on TPU (measured); the Pallas
+                # wavefront kernel is the only fast path there.
+                method = "pallas"
+        self.method = method
+        if method == "pallas":
+            from .kernels.sptrsv_pallas import PallasSptrsv
+
+            self._pallas = PallasSptrsv(l, lower=lower,
+                                        unit_diagonal=unit_diagonal)
+            self.bytes_per_iter = self._pallas.bytes_per_iter
+            self.nlevels = self._pallas.nlevels
+            self.tile_rows = 128
+            self.num_tiles = self._pallas.layout.num_tiles
+            self.padding_ratio = (self._pallas.layout.num_blocks * 128
+                                  / max(l.shape[0], 1))
+            return
         sched = build_level_schedule(
             l, lower=lower, unit_diagonal=unit_diagonal, tile_rows=tile_rows
         )
@@ -68,9 +87,6 @@ class SptrsvPlan:
         self.tile_rows = sched.tile_rows
         self.num_tiles = sched.num_tiles
         self.padding_ratio = sched.padded_slots / max(l.shape[0], 1)
-        if method == "auto":
-            method = "tiles"
-        self.method = method
         self._sched = sched
         self._slot_row = jnp.asarray(sched.slot_row)
         self._col = jnp.asarray(sched.col)
@@ -84,11 +100,15 @@ class SptrsvPlan:
         )
 
     def device_arrays(self):
+        if self.method == "pallas":
+            return self._pallas.device_arrays()
         return {"slot_row": self._slot_row, "col": self._col,
                 "val": self._val, "inv_diag": self._inv_diag}
 
     def apply_pure(self, arrs, b):
         """x = solve(L, b) with arrays passed explicitly (jit-argument safe)."""
+        if self.method == "pallas":
+            return self._pallas.apply_pure(arrs, b)
         n = self.shape[0]
         b_pad = jnp.concatenate([b, jnp.zeros(2, dtype=b.dtype)])
         tile_rows, num_tiles = self.tile_rows, self.num_tiles
@@ -117,6 +137,12 @@ class SptrsvPlan:
         b = jnp.asarray(b, dtype=self.dtype)
         if b.shape != (n,):
             raise ValueError(f"b must have shape ({n},), got {b.shape}")
+        if self.method == "pallas":
+            # host-side permutes (XLA device gathers are slow on TPU)
+            p = self._pallas
+            b2d = jnp.asarray(p.b_to_b2d(np.asarray(b)))
+            x2d = p.solve_permuted(p.device_arrays(), b2d)
+            return jnp.asarray(p.x2d_to_x(np.asarray(x2d)))
         b_pad = jnp.concatenate([b, jnp.zeros(2, dtype=b.dtype)])
         return _solve_tiles(
             self._slot_row, self._col, self._val, self._inv_diag, b_pad,

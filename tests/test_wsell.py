@@ -82,3 +82,39 @@ def test_pallas_spmm_interpret(k):
     x = np.random.default_rng(17).standard_normal((256, k)).astype(np.float32)
     y = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(), jnp.asarray(x)))
     assert rel_err(y, spmm_golden(a, x)) < 2e-5
+
+
+@pytest.mark.parametrize("gen", ["band", "chol_like"])
+def test_pallas_sptrsv_interpret(gen):
+    import jax
+    import jax.numpy as jnp
+    from sblas.ops.kernels.sptrsv_pallas import PallasSptrsv
+    from sblas.golden import sptrsv_golden
+
+    if gen == "band":
+        l = datasets.lower_triangular(300, 4, bandwidth=12, seed=20,
+                                      dtype=np.float32)
+    else:
+        l = datasets.lower_triangular(400, 8, bandwidth=60, seed=21,
+                                      dtype=np.float32)
+    p = PallasSptrsv(l)
+    b = np.random.default_rng(22).standard_normal(l.shape[0]).astype(np.float32)
+    x = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(), jnp.asarray(b)))
+    ref = sptrsv_golden(l, b)
+    assert rel_err(x, ref) < 5e-4
+
+
+def test_pallas_sptrsv_host_path():
+    import jax
+    from sblas.ops.kernels.sptrsv_pallas import PallasSptrsv
+    from sblas.golden import sptrsv_golden
+    import jax.numpy as jnp
+
+    l = datasets.lower_triangular(256, 5, bandwidth=20, seed=23,
+                                  dtype=np.float32)
+    p = PallasSptrsv(l)
+    b = np.random.default_rng(24).standard_normal(256).astype(np.float32)
+    b2d = jnp.asarray(p.b_to_b2d(b))
+    x2d = jax.jit(p.solve_permuted)(p.device_arrays(), b2d)
+    x = p.x2d_to_x(np.asarray(x2d))
+    assert rel_err(x, sptrsv_golden(l, b)) < 5e-4
