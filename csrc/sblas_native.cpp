@@ -121,3 +121,99 @@ void sblas_sptrsv_lower_f64(const int32_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ---- w-SELL v3 packer (SURVEY.md C5 retiler; see sblas/retile_wsell.py) ----
+//
+// Greedy per row-block round builder. A round is an (8 x 128) tile of up to
+// 8*sub row segments whose next chunk lies within the 2-panel window
+// starting at the round's base panel. Returns the number of rounds written.
+// Outputs must be pre-allocated for the worst case (total chunk count):
+//   val_out  [max_rounds*8*128]  float32
+//   lcol_out [max_rounds*8*128]  int32
+//   wrow_out [max_rounds]        int32
+//   obase_out[max_rounds]        int32
+extern "C" int64_t sblas_pack_wsell_f32(
+    const int32_t* indptr, const int32_t* indices, const float* data,
+    int64_t m, int32_t sub, int32_t nwin, int64_t max_rounds,
+    float* val_out, int32_t* lcol_out, int32_t* wrow_out,
+    int32_t* obase_out) {
+  const int32_t LANES_ = 128;
+  const int32_t SUBL = 8;
+  const int32_t lps = LANES_ / sub;
+  const int64_t rpb = (int64_t)SUBL * sub;
+  const int64_t nblocks = (m + rpb - 1) / rpb;
+  int64_t nrounds = 0;
+
+  int64_t pos[8 * 16];  // cursors, rpb <= 128
+  int64_t end[8 * 16];
+
+  for (int64_t blk = 0; blk < nblocks; ++blk) {
+    const int64_t r0 = blk * rpb;
+    const int64_t r1 = (r0 + rpb < m) ? r0 + rpb : m;
+    const int64_t nr = r1 - r0;
+    bool any = false;
+    for (int64_t rl = 0; rl < nr; ++rl) {
+      pos[rl] = indptr[r0 + rl];
+      end[rl] = indptr[r0 + rl + 1];
+      if (pos[rl] < end[rl]) any = true;
+    }
+    if (!any) continue;
+    while (true) {
+      // find smallest pending panel
+      int64_t wsel = -1;
+      for (int64_t rl = 0; rl < nr; ++rl) {
+        if (pos[rl] < end[rl]) {
+          int64_t p = indices[pos[rl]] / LANES_;
+          if (wsel < 0 || p < wsel) wsel = p;
+        }
+      }
+      if (wsel < 0) break;
+      if (nrounds >= max_rounds) return -1;  // caller under-allocated
+      float* vt = val_out + nrounds * SUBL * LANES_;
+      int32_t* ct = lcol_out + nrounds * SUBL * LANES_;
+      for (int64_t i = 0; i < SUBL * LANES_; ++i) { vt[i] = 0.f; ct[i] = 0; }
+      const int64_t hi_panel = wsel + nwin - 1;
+      for (int64_t rl = 0; rl < nr; ++rl) {
+        if (pos[rl] >= end[rl]) continue;
+        int64_t p = indices[pos[rl]] / LANES_;
+        if (p > hi_panel) continue;
+        // take up to lps entries in panel p
+        const int64_t s = rl / sub;
+        const int64_t k = rl % sub;
+        int64_t base = s * LANES_ + k * lps;
+        int64_t taken = 0;
+        while (pos[rl] < end[rl] && taken < lps &&
+               indices[pos[rl]] / LANES_ == p) {
+          vt[base + taken] = data[pos[rl]];
+          ct[base + taken] = indices[pos[rl]] - (int32_t)(wsel * LANES_);
+          ++taken;
+          ++pos[rl];
+        }
+      }
+      wrow_out[nrounds] = (int32_t)wsel;
+      obase_out[nrounds] = (int32_t)blk;
+      ++nrounds;
+    }
+  }
+  return nrounds;
+}
+
+// Total (row, panel, lps) chunk count — the worst-case round count.
+extern "C" int64_t sblas_wsell_chunk_count(
+    const int32_t* indptr, const int32_t* indices, int64_t m, int32_t sub) {
+  const int32_t LANES_ = 128;
+  const int32_t lps = LANES_ / sub;
+  int64_t total = 0;
+  for (int64_t r = 0; r < m; ++r) {
+    int64_t i = indptr[r];
+    const int64_t e = indptr[r + 1];
+    while (i < e) {
+      int64_t p = indices[i] / LANES_;
+      int64_t j = i + 1;
+      while (j < e && indices[j] / LANES_ == p && j - i < lps) ++j;
+      ++total;
+      i = j;
+    }
+  }
+  return total;
+}

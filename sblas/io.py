@@ -53,23 +53,40 @@ def read_mtx_coo(path: Union[str, Path], dtype=np.float64) -> COO:
         body = f.read()
 
     pattern = field == "pattern"
-    ncols = 2 if pattern else 3
-    toks = np.array(body.split(), dtype=np.float64)
-    if len(toks) < nnz * ncols:
-        raise ValueError(
-            f"truncated .mtx body: expected {nnz * ncols} tokens, got {len(toks)}"
-        )
-    toks = toks[: nnz * ncols].reshape(nnz, ncols)
-    row = toks[:, 0].astype(np.int64) - 1  # 1-based -> 0-based
-    col = toks[:, 1].astype(np.int64) - 1
-    data = np.ones(nnz, dtype=dtype) if pattern else toks[:, 2].astype(dtype)
+    parsed = None
+    from . import native
+
+    try:
+        parsed = native.parse_mtx_body(body.encode(), nnz, not pattern)
+    except ValueError:
+        raise
+    except Exception:
+        parsed = None
+    if parsed is not None:
+        row64, col64, vals = parsed
+        row = row64.astype(np.int64)
+        col = col64.astype(np.int64)
+        data = np.ones(nnz, dtype=dtype) if pattern else vals.astype(dtype)
+    else:
+        ncols = 2 if pattern else 3
+        toks = np.array(body.split(), dtype=np.float64)
+        if len(toks) < nnz * ncols:
+            raise ValueError(
+                f"truncated .mtx body: expected {nnz * ncols} tokens, "
+                f"got {len(toks)}"
+            )
+        toks = toks[: nnz * ncols].reshape(nnz, ncols)
+        row = toks[:, 0].astype(np.int64) - 1  # 1-based -> 0-based
+        col = toks[:, 1].astype(np.int64) - 1
+        data = np.ones(nnz, dtype=dtype) if pattern else toks[:, 2].astype(dtype)
 
     if symmetry in ("symmetric", "skew-symmetric"):
         off = row != col
         sign = -1.0 if symmetry == "skew-symmetric" else 1.0
-        row = np.concatenate([row, col[off]])
-        col = np.concatenate([col, toks[:, 0].astype(np.int64)[off] - 1])
+        row_full = np.concatenate([row, col[off]])
+        col_full = np.concatenate([col, row[off]])
         data = np.concatenate([data, sign * data[off]])
+        row, col = row_full, col_full
 
     return COO((m, n), row, col, data)
 

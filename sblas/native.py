@@ -58,6 +58,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sblas_sptrsv_lower_f64.argtypes = [
         i32p, i32p, f64p, ctypes.c_int64, f64p, f64p, ctypes.c_int,
     ]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.sblas_pack_wsell_f32.restype = ctypes.c_int64
+    lib.sblas_pack_wsell_f32.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, f32p, i32p, i32p, i32p,
+    ]
+    lib.sblas_wsell_chunk_count.restype = ctypes.c_int64
+    lib.sblas_wsell_chunk_count.argtypes = [i32p, i32p, ctypes.c_int64,
+                                            ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -147,3 +156,32 @@ def sptrsv_golden_native(indptr, indices, data, b, *, unit_diagonal=False):
         _as_f64p(b), _as_f64p(x), int(unit_diagonal),
     )
     return x
+
+
+def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
+    """Native w-SELL round builder. Returns (nrounds, val, lcol, wrow, obase)
+    with val/lcol shaped (nrounds*8, 128), or None if no native library."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    max_rounds = lib.sblas_wsell_chunk_count(
+        _as_i32p(indptr), _as_i32p(indices), m, sub) + 1
+    val = np.zeros((max_rounds * 8, 128), dtype=np.float32)
+    lcol = np.zeros((max_rounds * 8, 128), dtype=np.int32)
+    wrow = np.zeros(max_rounds, dtype=np.int32)
+    obase = np.zeros(max_rounds, dtype=np.int32)
+    import ctypes as _ct
+
+    f32p = _ct.POINTER(_ct.c_float)
+    n = lib.sblas_pack_wsell_f32(
+        _as_i32p(indptr), _as_i32p(indices),
+        data.ctypes.data_as(f32p), m, sub, nwin, max_rounds,
+        val.ctypes.data_as(f32p), _as_i32p(lcol), _as_i32p(wrow),
+        _as_i32p(obase),
+    )
+    if n < 0:
+        raise RuntimeError("w-SELL packer under-allocated (bug)")
+    return int(n), val[: n * 8], lcol[: n * 8], wrow[:n], obase[:n]

@@ -118,6 +118,47 @@ def pick_sub(a: CSR) -> int:
     return best_sub
 
 
+def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
+                     th, sub, nwin, wgroup):
+    """Sort rounds by window, pad window runs to wgroup, pad to whole tiles,
+    and assemble the WSell container. val/lcol are (R*8, 128)."""
+    R = len(wrow)
+    order = np.lexsort((obase, wrow))
+    wrow_s = wrow[order]
+    uniq, counts = np.unique(wrow_s, return_counts=True)
+    padded = ((counts + wgroup - 1) // wgroup) * wgroup
+    R2 = int(padded.sum())
+    ns = max(th // SUBLANES, 1)
+    T = -(-R2 // ns)
+    total = T * ns
+    # destination slot of each sorted round
+    run_starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    src_run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(R) - np.repeat(src_run_starts, counts)
+    dest = np.repeat(run_starts, counts) + within
+
+    val2 = np.zeros((total * SUBLANES, LANES), dtype=dtype)
+    lcol2 = np.zeros((total * SUBLANES, LANES), dtype=np.int32)
+    wrow2 = np.zeros(total, dtype=np.int64)
+    obase2 = np.zeros(total, dtype=np.int64)
+    # window of pad slots within a run must match the run's window
+    wrow2[: R2] = np.repeat(uniq, padded)
+    src_rows = (order[:, None] * SUBLANES + np.arange(SUBLANES)).reshape(-1)
+    dst_rows = (dest[:, None] * SUBLANES + np.arange(SUBLANES)).reshape(-1)
+    val2[dst_rows] = val[src_rows]
+    lcol2[dst_rows] = lcol[src_rows]
+    obase2[dest] = obase[order]
+    return WSell(
+        m=m, n=n, nnz=nnz, th=ns * SUBLANES, sub=sub, nwin=nwin,
+        wgroup=wgroup, num_tiles=T, num_rounds=R2,
+        val=val2, lcol=lcol2,
+        round_wrow=wrow2.astype(INDEX_DTYPE),
+        round_obase=obase2.astype(INDEX_DTYPE),
+        x2d_rows=-(-n // 128) + 1,
+        y_rows=((-(-max(m, 1) // (SUBLANES * sub))) * SUBLANES),
+    )
+
+
 def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2,
                wgroup: int = 8) -> WSell:
     """Pack a CSR matrix into w-SELL v3 tiles.
@@ -130,6 +171,24 @@ def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2,
     m, n = a.shape
     if sub <= 0:
         sub = pick_sub(a)
+    if a.data.dtype == np.float32:
+        from . import native
+
+        packed = native.pack_wsell_rounds_f32(
+            a.indptr, a.indices, a.data, m, sub, nwin
+        )
+        if packed is not None:
+            R, val, lcol, wrow, obase = packed
+            if R == 0:
+                val = np.zeros((SUBLANES, LANES), np.float32)
+                lcol = np.zeros((SUBLANES, LANES), np.int32)
+                wrow = np.zeros(1, np.int32)
+                obase = np.zeros(1, np.int32)
+            return _finalize_rounds(
+                val, lcol, wrow.astype(np.int64), obase.astype(np.int64),
+                m=m, n=n, nnz=a.nnz, dtype=a.data.dtype,
+                th=th, sub=sub, nwin=nwin, wgroup=wgroup,
+            )
     lps = LANES // sub
     rpb = SUBLANES * sub          # rows per block
     nblocks = -(-max(m, 1) // rpb)
@@ -187,50 +246,14 @@ def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2,
     if not rounds:
         rounds.append((0, 0, np.zeros((SUBLANES, LANES), dtype=data.dtype),
                        np.zeros((SUBLANES, LANES), dtype=np.int64)))
-
-    # Kernel processes rounds in groups of ``wgroup`` sharing one x-window
-    # (one dynamic slice + one big gather + one big MXU reduce per group —
-    # measured 2x faster than per-round ops). Sort rounds by window and pad
-    # each window's run to a multiple of wgroup with zero rounds.
-    rounds.sort(key=lambda r: (r[0], r[1]))
-    grouped = []
-    i = 0
-    while i < len(rounds):
-        j = i
-        w0 = rounds[i][0]
-        while j < len(rounds) and rounds[j][0] == w0:
-            j += 1
-        grouped.extend(rounds[i:j])
-        pad = (-(j - i)) % wgroup
-        for _ in range(pad):
-            grouped.append((w0, 0,
-                            np.zeros((SUBLANES, LANES), dtype=data.dtype),
-                            np.zeros((SUBLANES, LANES), dtype=np.int64)))
-        i = j
-    rounds = grouped
-    assert th % (wgroup * SUBLANES) == 0, "th must hold whole window groups"
     R = len(rounds)
-    T = -(-R // ns)
-    val = np.zeros((T * ns * SUBLANES, LANES), dtype=data.dtype)
-    lcol = np.zeros((T * ns * SUBLANES, LANES), dtype=np.int64)
-    wrow = np.zeros(T * ns, dtype=np.int64)
-    obase = np.zeros(T * ns, dtype=np.int64)
-    for i, (w, b, vt, ct) in enumerate(rounds):
-        val[i * SUBLANES: (i + 1) * SUBLANES] = vt
-        lcol[i * SUBLANES: (i + 1) * SUBLANES] = ct
-        wrow[i] = w
-        obase[i] = b
-    y_rows = ((nblocks * SUBLANES + 7) // 8) * 8
-
-    return WSell(
-        m=m, n=n, nnz=a.nnz, th=ns * SUBLANES, sub=sub, nwin=nwin,
-        wgroup=wgroup, num_tiles=T, num_rounds=R,
-        val=val, lcol=lcol.astype(INDEX_DTYPE),
-        round_wrow=wrow.astype(INDEX_DTYPE),
-        round_obase=obase.astype(INDEX_DTYPE),
-        x2d_rows=-(-n // 128) + 1,
-        y_rows=y_rows,
-    )
+    val = np.concatenate([r[2] for r in rounds], axis=0)
+    lcol = np.concatenate([r[3] for r in rounds], axis=0).astype(np.int32)
+    wrow = np.asarray([r[0] for r in rounds], dtype=np.int64)
+    obase = np.asarray([r[1] for r in rounds], dtype=np.int64)
+    return _finalize_rounds(val, lcol, wrow, obase, m=m, n=n, nnz=a.nnz,
+                            dtype=data.dtype, th=th, sub=sub, nwin=nwin,
+                            wgroup=wgroup)
 
 
 def wsell_to_dense(w: WSell) -> np.ndarray:
