@@ -1,0 +1,91 @@
+"""Full benchmark suite (SURVEY.md C14; BASELINE.json configs #1-#4).
+
+Runs on the real TPU chip; writes one JSON line per benchmark to
+benchmarks/results/suite_<timestamp>.jsonl and prints a summary table.
+
+Usage: python benchmarks/run_suite.py [--quick]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sblas import datasets
+from sblas import bench_lib
+from sblas.utils.timing import stream_bandwidth
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    out = Path(args.out or Path(__file__).parent / "results" /
+               f"suite_{int(time.time())}.jsonl")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    records = []
+
+    def emit(rec):
+        d = rec.as_dict()
+        records.append(d)
+        with open(out, "a") as f:
+            f.write(json.dumps(d) + "\n")
+        print(json.dumps(d), flush=True)
+
+    sbw = stream_bandwidth()
+    print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
+
+    fem = ["cant", "consph", "pdb1HYS"] if not args.quick else ["cant"]
+    scale = 1.0
+
+    # Config #1: SpMV over the FEM suite, f32 fast path + f64 correctness
+    for name in fem:
+        a = datasets.emulate(name, scale=scale, dtype=np.float32)
+        rec = bench_lib.bench_spmv(a, method="auto", iters=25)
+        rec.extra["matrix"] = name
+        emit(rec)
+
+    # Config #2: SpMM K=8/32
+    for name in (fem[:2] if not args.quick else fem[:1]):
+        a = datasets.emulate(name, scale=scale, dtype=np.float32)
+        for k in (8, 32):
+            try:
+                rec = bench_lib.bench_spmm(a, k, method="auto", iters=10)
+                rec.extra["matrix"] = name
+                emit(rec)
+            except Exception as e:
+                print(f"# spmm {name} k={k} FAIL: {str(e)[:200]}", flush=True)
+
+    # Config #3: SpTRSV on a Cholesky-like factor + parallel band
+    tri_cases = [
+        ("band-parallel", datasets.lower_triangular(
+            62451, 30, bandwidth=4000, seed=1, dtype=np.float32)),
+    ]
+    if not args.quick:
+        spd = datasets.poisson2d(140, dtype=np.float64)
+        tri_cases.append(
+            ("chol-poisson2d", datasets.cholesky_factor(spd, dtype=np.float32)))
+    for name, l in tri_cases:
+        try:
+            rec = bench_lib.bench_sptrsv(l, iters=10,
+                                         compare_reference=args.quick is False)
+            rec.extra["matrix"] = name
+            emit(rec)
+        except Exception as e:
+            print(f"# sptrsv {name} FAIL: {str(e)[:200]}", flush=True)
+
+    print(f"# wrote {len(records)} records to {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

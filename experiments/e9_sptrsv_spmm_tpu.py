@@ -14,12 +14,16 @@ P(f"STREAM {sbw:.1f} GB/s")
 # --- SpTRSV: banded lower-tri (wide levels) + narrow-level factor ---
 from sblas.ops.kernels.sptrsv_pallas import PallasSptrsv
 
-for name, l in [
-    ("band-wide", datasets.lower_triangular(62451, 30, bandwidth=100, seed=1,
-                                            dtype=np.float32)),
-    ("chol-ish", datasets.lower_triangular(62451, 58, bandwidth=160, seed=2,
-                                           dtype=np.float32)),
+def chol_factor_f32():
+    a = datasets.poisson2d(140, dtype=np.float64)  # 19600 rows SPD
+    return datasets.cholesky_factor(a, dtype=np.float32)
+
+for name, lfn in [
+    ("band-parallel", lambda: datasets.lower_triangular(
+        62451, 30, bandwidth=4000, seed=1, dtype=np.float32)),
+    ("chol-poisson2d-140", chol_factor_f32),
 ]:
+    l = lfn()
     try:
         t0 = time.time()
         p = PallasSptrsv(l)

@@ -126,13 +126,17 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
         if np.any(diag == 0.0):
             raise ValueError("zero diagonal; singular matrix")
 
+    # inv_diag folded into the value stream and into b (host-side):
+    # (b - sum l_j x_j) / d == b/d - sum (l_j/d) x_j. Stored in slot layout
+    # for b_to_b2d; the kernel itself needs no diagonal buffer.
     inv_diag = np.ones((num_blocks * SUBLANES, SUB), dtype=np.float32)
-    for blk in range(num_blocks):
-        for loff in range(128):
-            r = row_of_slot[blk * 128 + loff]
-            if r >= 0:
-                s, k = divmod(loff, SUB)
-                inv_diag[blk * SUBLANES + s, k] = 1.0 / diag[r]
+    live = row_of_slot >= 0
+    slots_live = np.flatnonzero(live)
+    s_idx, k_idx = np.divmod(slots_live % 128, SUB)
+    blk_idx = slots_live // 128
+    inv_diag[blk_idx * SUBLANES + s_idx, k_idx] = (
+        1.0 / diag[row_of_slot[slots_live]]
+    )
 
     # rounds per block
     rounds = []  # (wrow, blk, final, vt, ct)
@@ -148,7 +152,7 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
             if not sel.any():
                 continue
             c_orig = cols[p0:p1][sel]
-            v = data[p0:p1][sel]
+            v = data[p0:p1][sel] / diag[r]
             c_slot = slot_of_row[c_orig]   # renumbered dependency columns
             o = np.argsort(c_slot, kind="stable")
             c_slot, v = c_slot[o], v[o]
@@ -232,7 +236,7 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
 def _kernel(th):
     ns = th // SUBLANES
 
-    def kern(wrow_ref, oblk_ref, final_ref, bfirst_ref, b_ref, invd_ref,
+    def kern(wrow_ref, oblk_ref, final_ref, bfirst_ref, b_ref,
              val_ref, col_ref, x2d_ref, acc_ref):
         # acc is an OUTPUT (not scratch): scratch does not persist across
         # grid steps in interpret mode; outputs do on both paths.
@@ -272,9 +276,8 @@ def _kernel(th):
 
             @pl.when(fin == 1)
             def _():
-                bv = b_ref[pl.ds(slab, SUBLANES), :]
-                idg = invd_ref[pl.ds(slab, SUBLANES), :]
-                solved = (bv - acc_new) * idg            # (8, 16)
+                bv = b_ref[pl.ds(slab, SUBLANES), :]      # pre-scaled b/diag
+                solved = bv - acc_new                     # (8, 16)
                 # write back as one x2d lane-row: lane l = s*16 + k
                 for s in range(SUBLANES):
                     x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
@@ -292,6 +295,14 @@ class PallasSptrsv:
         if l.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th)
+        vmem_est = (lay.x2d_rows * 128 + 2 * (lay.num_blocks + 1) * 128
+                    + 2 * lay.th * 128 * 2) * 4
+        if vmem_est > 20 * (1 << 20):
+            raise ValueError(
+                f"level structure too deep: {lay.nlevels} levels pad "
+                f"{l.shape[0]} rows to {lay.num_blocks * 128} slots "
+                f"(~{vmem_est >> 20} MB VMEM); XLA tiles path required"
+            )
         self.layout = lay
         self.shape = l.shape
         self.dtype = l.dtype
@@ -316,8 +327,7 @@ class PallasSptrsv:
             num_scalar_prefetch=4,
             grid=(lay.num_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # b2d
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # invd
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # b2d (pre-scaled)
                 pl.BlockSpec((lay.th, LANES), lambda t, wr, ob, fin, bf: (t, 0)),
                 pl.BlockSpec((lay.th, LANES), lambda t, wr, ob, fin, bf: (t, 0)),
             ],
@@ -348,15 +358,16 @@ class PallasSptrsv:
         x2d (x2d_rows, 128). No permutation gathers — the benchmark path."""
         x2d, _acc = self._call(arrs["wr"], arrs["ob"], arrs["fin"],
                                arrs["bfirst"], b2d,
-                               arrs["invd"], arrs["val"], arrs["lcol"])
+                               arrs["val"], arrs["lcol"])
         return x2d
 
     def b_to_b2d(self, b: np.ndarray) -> np.ndarray:
-        """Host-side permute+pad of b (numpy, fast)."""
+        """Host-side permute+pad+diag-scale of b (numpy, fast)."""
         lay = self.layout
         b_pad = np.zeros(lay.num_blocks * 128, dtype=np.float32)
         b_pad[np.asarray(lay.slot_of_row)] = np.asarray(b, dtype=np.float32)
-        return b_pad.reshape(lay.num_blocks * SUBLANES, SUB)
+        b2d = b_pad.reshape(lay.num_blocks * SUBLANES, SUB)
+        return b2d * np.asarray(lay.inv_diag)
 
     def x2d_to_x(self, x2d: np.ndarray) -> np.ndarray:
         """Host-side unpermute of the solve result (numpy, fast)."""
@@ -374,7 +385,7 @@ class PallasSptrsv:
         # not appended)
         b_pad = jnp.zeros(lay.num_blocks * 128, jnp.float32)
         b_pad = b_pad.at[arrs["unperm"]].set(b.astype(jnp.float32))
-        b2d = b_pad.reshape(lay.num_blocks * SUBLANES, SUB)
+        b2d = b_pad.reshape(lay.num_blocks * SUBLANES, SUB) * arrs["invd"]
         x2d = self.solve_permuted(arrs, b2d)
         x_perm = x2d[: lay.num_blocks].reshape(-1)
         return x_perm[arrs["unperm"]].astype(self.dtype)

@@ -65,12 +65,17 @@ class SptrsvPlan:
                 # XLA gather is ~1 GB/s serial on TPU (measured); the Pallas
                 # wavefront kernel is the only fast path there.
                 method = "pallas"
-        self.method = method
         if method == "pallas":
             from .kernels.sptrsv_pallas import PallasSptrsv
 
-            self._pallas = PallasSptrsv(l, lower=lower,
-                                        unit_diagonal=unit_diagonal)
+            try:
+                self._pallas = PallasSptrsv(l, lower=lower,
+                                            unit_diagonal=unit_diagonal)
+            except ValueError:
+                # level structure too deep for the VMEM wavefront; fall back
+                method = "tiles"
+        self.method = method
+        if method == "pallas":
             self.bytes_per_iter = self._pallas.bytes_per_iter
             self.nlevels = self._pallas.nlevels
             self.tile_rows = 128
