@@ -72,7 +72,7 @@ def main():
             62451, 30, bandwidth=4000, seed=1, dtype=np.float32)),
     ]
     if not args.quick:
-        spd = datasets.poisson2d(140, dtype=np.float64)
+        spd = datasets.poisson2d(80, dtype=np.float64)
         tri_cases.append(
             ("chol-poisson2d", datasets.cholesky_factor(spd, dtype=np.float32)))
     for name, l in tri_cases:

@@ -15,7 +15,7 @@ P(f"STREAM {sbw:.1f} GB/s")
 from sblas.ops.kernels.sptrsv_pallas import PallasSptrsv
 
 def chol_factor_f32():
-    a = datasets.poisson2d(140, dtype=np.float64)  # 19600 rows SPD
+    a = datasets.poisson2d(80, dtype=np.float64)  # 6400 rows SPD
     return datasets.cholesky_factor(a, dtype=np.float32)
 
 for name, lfn in [
