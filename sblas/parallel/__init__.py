@@ -13,13 +13,13 @@ identical code runs on a real v5e pod slice.
 """
 
 from .mesh import make_mesh, chips_axis
-from .spmv_dist import DistSpmvPlan, dist_spmv
+from .spmv_dist import DistSpmvPlan, RingSpmvPlan, dist_spmv
 from .spmm_dist import DistSpmmPlan, dist_spmm
 from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
 
 __all__ = [
     "make_mesh", "chips_axis",
-    "DistSpmvPlan", "dist_spmv",
+    "DistSpmvPlan", "RingSpmvPlan", "dist_spmv",
     "DistSpmmPlan", "dist_spmm",
     "DistSptrsvPlan", "dist_sptrsv",
 ]

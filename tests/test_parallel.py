@@ -70,3 +70,23 @@ def test_dist_matches_single_chip(mesh8):
     y_single = np.asarray(SpmvPlan(a, "ell")(x))
     y_multi = np.asarray(DistSpmvPlan(a, mesh8)(x))
     assert rel_err(y_multi, y_single) < 1e-12
+
+
+def test_ring_spmv(mesh8):
+    from sblas.parallel import RingSpmvPlan
+
+    a = datasets.random_csr(400, 400, 8, seed=20, dtype=np.float64)
+    x = np.random.default_rng(21).standard_normal(400)
+    y = np.asarray(RingSpmvPlan(a, mesh8)(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-10
+
+
+def test_ring_matches_allgather(mesh8):
+    from sblas.parallel import RingSpmvPlan, DistSpmvPlan
+
+    a = datasets.random_csr(256, 256, 6, bandwidth=40, seed=22,
+                            dtype=np.float32)
+    x = np.random.default_rng(23).standard_normal(256).astype(np.float32)
+    y_ring = np.asarray(RingSpmvPlan(a, mesh8)(x))
+    y_ag = np.asarray(DistSpmvPlan(a, mesh8)(x))
+    assert rel_err(y_ring, y_ag) < 1e-5
