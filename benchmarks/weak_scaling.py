@@ -29,7 +29,12 @@ def main():
 
     import jax
 
-    if args.cpu_mesh or jax.device_count() == 1:
+    # Decide the platform BEFORE any device API touches the backend: on this
+    # environment merely calling jax.device_count() initializes the tunneled
+    # TPU client and collides with concurrent TPU jobs.
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+    elif jax.device_count() == 1:
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
