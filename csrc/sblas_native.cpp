@@ -217,3 +217,119 @@ extern "C" int64_t sblas_wsell_chunk_count(
   }
   return total;
 }
+
+#include <algorithm>
+#include <vector>
+
+// ---- SpTRSV level-block round builder (see sblas/ops/kernels/sptrsv_pallas.py)
+//
+// Blocks are 128 renumbered rows (level-padded). Rounds are (8 x 128) tiles:
+// sublane s, lane block k holds row (s*16 + k)'s next chunk if its panel is
+// within the round's 2-panel window. Values are pre-scaled by 1/diag of the
+// row; dependency columns are renumbered via slot_of_row. Returns round
+// count or -1 if max_rounds was too small.
+extern "C" int64_t sblas_pack_trsv_f32(
+    const int32_t* indptr, const int32_t* indices, const double* data,
+    const int32_t* row_of_slot,   // [n_pad] original row per slot or -1
+    const int32_t* slot_of_row,   // [n] slot per original row
+    const double* inv_diag,       // [n] 1/diag per original row
+    int64_t n_pad, int32_t lower, int64_t max_rounds,
+    float* val_out, int32_t* lcol_out, int32_t* wrow_out, int32_t* oblk_out,
+    int32_t* final_out, int32_t* bfirst_out) {
+  const int32_t LANES_ = 128;
+  const int32_t SUBL = 8;
+  const int32_t SUBSEG = 16;   // segments per sublane
+  const int32_t lps = LANES_ / SUBSEG;  // 8 slots per row
+  const int64_t nblocks = n_pad / LANES_;
+  int64_t nrounds = 0;
+
+  std::vector<std::pair<int32_t, float>> deps;  // (slot, scaled val)
+  // per row in block: chunk list as (panel, start, len) over deps buffer
+  struct Chunk { int32_t panel; int32_t start; int32_t len; };
+  std::vector<Chunk> chunks[128];
+  std::vector<std::pair<int32_t, float>> rowdeps[128];
+
+  for (int64_t blk = 0; blk < nblocks; ++blk) {
+    bool any = false;
+    size_t cursor[128];
+    for (int32_t lo = 0; lo < 128; ++lo) {
+      chunks[lo].clear();
+      rowdeps[lo].clear();
+      cursor[lo] = 0;
+      const int32_t r = row_of_slot[blk * LANES_ + lo];
+      if (r < 0) continue;
+      const double inv = inv_diag[r];
+      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int32_t c = indices[p];
+        const bool off = lower ? (c < r) : (c > r);
+        if (!off) continue;
+        rowdeps[lo].push_back({slot_of_row[c], (float)(data[p] * inv)});
+      }
+      if (rowdeps[lo].empty()) continue;
+      std::sort(rowdeps[lo].begin(), rowdeps[lo].end(),
+                [](const std::pair<int32_t, float>& a,
+                   const std::pair<int32_t, float>& b) {
+                  return a.first < b.first;
+                });
+      // single-panel chunks of <= lps
+      int32_t i = 0, L = (int32_t)rowdeps[lo].size();
+      while (i < L) {
+        const int32_t p = rowdeps[lo][i].first / LANES_;
+        int32_t j = i + 1;
+        while (j < L && rowdeps[lo][j].first / LANES_ == p && j - i < lps) ++j;
+        chunks[lo].push_back({p, i, j - i});
+        i = j;
+      }
+      any = true;
+    }
+    int64_t first_round_of_block = nrounds;
+    if (!any) {
+      // pure-diagonal block: one empty final round so the block gets solved
+      if (nrounds >= max_rounds) return -1;
+      float* vt = val_out + nrounds * SUBL * LANES_;
+      int32_t* ct = lcol_out + nrounds * SUBL * LANES_;
+      for (int64_t q = 0; q < SUBL * LANES_; ++q) { vt[q] = 0.f; ct[q] = 0; }
+      wrow_out[nrounds] = 0;
+      oblk_out[nrounds] = (int32_t)blk;
+      final_out[nrounds] = 1;
+      bfirst_out[nrounds] = 1;
+      ++nrounds;
+      continue;
+    }
+    while (true) {
+      int64_t wsel = -1;
+      for (int32_t lo = 0; lo < 128; ++lo) {
+        if (cursor[lo] < chunks[lo].size()) {
+          const int64_t p = chunks[lo][cursor[lo]].panel;
+          if (wsel < 0 || p < wsel) wsel = p;
+        }
+      }
+      if (wsel < 0) break;
+      if (nrounds >= max_rounds) return -1;
+      float* vt = val_out + nrounds * SUBL * LANES_;
+      int32_t* ct = lcol_out + nrounds * SUBL * LANES_;
+      for (int64_t q = 0; q < SUBL * LANES_; ++q) { vt[q] = 0.f; ct[q] = 0; }
+      for (int32_t lo = 0; lo < 128; ++lo) {
+        if (cursor[lo] >= chunks[lo].size()) continue;
+        const Chunk& ch = chunks[lo][cursor[lo]];
+        if (ch.panel > wsel + 1) continue;
+        const int32_t s = lo / SUBSEG;
+        const int32_t k = lo % SUBSEG;
+        const int64_t base = (int64_t)s * LANES_ + k * lps;
+        for (int32_t t = 0; t < ch.len; ++t) {
+          vt[base + t] = rowdeps[lo][ch.start + t].second;
+          ct[base + t] = rowdeps[lo][ch.start + t].first
+                         - (int32_t)(wsel * LANES_);
+        }
+        ++cursor[lo];
+      }
+      wrow_out[nrounds] = (int32_t)wsel;
+      oblk_out[nrounds] = (int32_t)blk;
+      final_out[nrounds] = 0;
+      bfirst_out[nrounds] = (nrounds == first_round_of_block) ? 1 : 0;
+      ++nrounds;
+    }
+    final_out[nrounds - 1] = 1;
+  }
+  return nrounds;
+}

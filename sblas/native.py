@@ -67,6 +67,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sblas_wsell_chunk_count.restype = ctypes.c_int64
     lib.sblas_wsell_chunk_count.argtypes = [i32p, i32p, ctypes.c_int64,
                                             ctypes.c_int32]
+    lib.sblas_pack_trsv_f32.restype = ctypes.c_int64
+    lib.sblas_pack_trsv_f32.argtypes = [
+        i32p, i32p, f64p, i32p, i32p, f64p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        f32p, i32p, i32p, i32p, i32p, i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -169,10 +175,10 @@ def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
     data = np.ascontiguousarray(data, dtype=np.float32)
     max_rounds = lib.sblas_wsell_chunk_count(
         _as_i32p(indptr), _as_i32p(indices), m, sub) + 1
-    val = np.zeros((max_rounds * 8, 128), dtype=np.float32)
-    lcol = np.zeros((max_rounds * 8, 128), dtype=np.int32)
-    wrow = np.zeros(max_rounds, dtype=np.int32)
-    obase = np.zeros(max_rounds, dtype=np.int32)
+    val = np.empty((max_rounds * 8, 128), dtype=np.float32)
+    lcol = np.empty((max_rounds * 8, 128), dtype=np.int32)
+    wrow = np.empty(max_rounds, dtype=np.int32)
+    obase = np.empty(max_rounds, dtype=np.int32)
     import ctypes as _ct
 
     f32p = _ct.POINTER(_ct.c_float)
@@ -185,3 +191,42 @@ def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
     if n < 0:
         raise RuntimeError("w-SELL packer under-allocated (bug)")
     return int(n), val[: n * 8], lcol[: n * 8], wrow[:n], obase[:n]
+
+
+def pack_trsv_rounds(indptr, indices, data, row_of_slot, slot_of_row,
+                     inv_diag, n_pad, lower):
+    """Native SpTRSV round builder (see sptrsv_pallas.build_layout).
+    Returns (R, val, lcol, wrow, oblk, final, bfirst) or None."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    import ctypes as _ct
+
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    row_of_slot = np.ascontiguousarray(row_of_slot, dtype=np.int32)
+    slot_of_row = np.ascontiguousarray(slot_of_row, dtype=np.int32)
+    inv_diag = np.ascontiguousarray(inv_diag, dtype=np.float64)
+    # worst case: total chunks (lps=8) + one per block
+    max_rounds = lib.sblas_wsell_chunk_count(
+        _as_i32p(indptr), _as_i32p(indices), len(indptr) - 1, 16
+    ) + n_pad // 128 + 1
+    f32p = _ct.POINTER(_ct.c_float)
+    val = np.empty((max_rounds * 8, 128), dtype=np.float32)
+    lcol = np.empty((max_rounds * 8, 128), dtype=np.int32)
+    wrow = np.empty(max_rounds, dtype=np.int32)
+    oblk = np.empty(max_rounds, dtype=np.int32)
+    final = np.empty(max_rounds, dtype=np.int32)
+    bfirst = np.empty(max_rounds, dtype=np.int32)
+    R = lib.sblas_pack_trsv_f32(
+        _as_i32p(indptr), _as_i32p(indices), _as_f64p(data),
+        _as_i32p(row_of_slot), _as_i32p(slot_of_row), _as_f64p(inv_diag),
+        n_pad, int(lower), max_rounds,
+        val.ctypes.data_as(f32p), _as_i32p(lcol), _as_i32p(wrow),
+        _as_i32p(oblk), _as_i32p(final), _as_i32p(bfirst),
+    )
+    if R < 0:
+        raise RuntimeError("trsv packer under-allocated (bug)")
+    return (int(R), val[: R * 8], lcol[: R * 8], wrow[:R], oblk[:R],
+            final[:R], bfirst[:R])

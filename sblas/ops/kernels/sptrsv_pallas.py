@@ -138,8 +138,41 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
         1.0 / diag[row_of_slot[slots_live]]
     )
 
-    # rounds per block
-    rounds = []  # (wrow, blk, final, vt, ct)
+    # rounds per block — native C++ fast path, python fallback
+    packed = native.pack_trsv_rounds(
+        l.indptr, l.indices, l.data, row_of_slot, slot_of_row,
+        1.0 / diag, n_pad, lower,
+    )
+    if packed is not None:
+        R, valN, lcolN, wrowN, oblkN, finalN, bfirstN = packed
+        ns = th // SUBLANES
+        T = -(-max(R, 1) // ns)
+        val = np.zeros((T * th, LANES), dtype=np.float32)
+        lcol = np.zeros((T * th, LANES), dtype=np.int64)
+        wrow = np.zeros(T * ns, dtype=np.int64)
+        oblk = np.full(T * ns, num_blocks, dtype=np.int64)
+        final = np.zeros(T * ns, dtype=np.int64)
+        bfirst = np.ones(T * ns, dtype=np.int64)
+        val[: R * SUBLANES] = valN
+        lcol[: R * SUBLANES] = lcolN
+        wrow[:R] = wrowN
+        oblk[:R] = oblkN
+        final[:R] = finalN
+        bfirst[:R] = bfirstN
+        return TrsvLayout(
+            n=n, nnz=l.nnz, nlevels=nlevels, num_blocks=num_blocks,
+            num_tiles=T, th=th, perm=order.astype(INDEX_DTYPE),
+            slot_of_row=slot_of_row.astype(INDEX_DTYPE),
+            val=val, lcol=lcol.astype(INDEX_DTYPE),
+            round_wrow=wrow.astype(INDEX_DTYPE),
+            round_oblk=oblk.astype(INDEX_DTYPE),
+            round_final=final.astype(INDEX_DTYPE),
+            round_bfirst=bfirst.astype(INDEX_DTYPE),
+            inv_diag=inv_diag,
+            x2d_rows=num_blocks + 1,
+        )
+
+    rounds = []  # (wrow, blk, final, bfirst, vt, ct)
     off = (cols < l.row_ids()) if lower else (cols > l.row_ids())
     for blk in range(num_blocks):
         row_chunks = []
