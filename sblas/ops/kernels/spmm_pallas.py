@@ -45,7 +45,7 @@ def _kernel(th, sub, nwin, wgroup, k):
         for q in range(ngrp):
             w = wrow_ref[t * ns + q * wgroup]
             v = val_ref[q * gh:(q + 1) * gh, :].astype(jnp.float32)
-            c = col_ref[q * gh:(q + 1) * gh, :]
+            c = col_ref[q * gh:(q + 1) * gh, :].astype(jnp.int32)
             c0 = jnp.minimum(c, 127)
             c1 = jnp.maximum(c - 128, 0)
             sel = c < 128

@@ -58,7 +58,7 @@ def _kernel(th, sub, nwin, wgroup):
         for q in range(ngrp):
             w = wrow_ref[t * ns + q * wgroup]
             v = val_ref[q * gh:(q + 1) * gh, :].astype(jnp.float32)
-            c = col_ref[q * gh:(q + 1) * gh, :]
+            c = col_ref[q * gh:(q + 1) * gh, :].astype(jnp.int32)
             xw = x2d_ref[pl.ds(w, 1), :]                    # (1, 128)
             table = jnp.broadcast_to(xw, (gh, 128))
             if nwin == 1:
@@ -111,6 +111,7 @@ class PallasSpmv:
         self.dtype = a.dtype
         self.nnz = a.nnz
         self.bytes_per_iter = w.bytes_per_iter + n * 4 + m * 4
+        self.lcol_itemsize = w.lcol.itemsize
         self._val = jnp.asarray(w.val)
         self._lcol = jnp.asarray(w.lcol)
         self._wr = jnp.asarray(w.round_wrow)

@@ -290,7 +290,7 @@ def _kernel(th):
             fin = final_ref[t * ns + i]
             bfirst = bfirst_ref[t * ns + i]
             v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.float32)
-            c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :]
+            c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
             xw = x2d_ref[pl.ds(w, 1), :]
             tab0 = jnp.broadcast_to(xw, (SUBLANES, 128))
             xw1 = x2d_ref[pl.ds(w + 1, 1), :]

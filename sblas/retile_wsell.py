@@ -52,7 +52,7 @@ class WSell:
     num_rounds: int
     # Per-tile arrays; tile t occupies array rows [t*th, (t+1)*th):
     val: np.ndarray       # (T*th, 128)
-    lcol: np.ndarray      # (T*th, 128) int32 in [0, 128); pad slots 0
+    lcol: np.ndarray      # (T*th, 128) int16 in [0, 256); pad slots 0
     round_wrow: np.ndarray   # (T * th/8,) int32 x-window row per round
     round_obase: np.ndarray  # (T * th/8,) int32 row-block index per round
     x2d_rows: int
@@ -138,7 +138,8 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
     dest = np.repeat(run_starts, counts) + within
 
     val2 = np.zeros((total * SUBLANES, LANES), dtype=dtype)
-    lcol2 = np.zeros((total * SUBLANES, LANES), dtype=np.int32)
+    # lcol in [0, 256) -> int16 halves index stream bytes (DESIGN.md)
+    lcol2 = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
     wrow2 = np.zeros(total, dtype=np.int64)
     obase2 = np.zeros(total, dtype=np.int64)
     # window of pad slots within a run must match the run's window
