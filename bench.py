@@ -1,27 +1,43 @@
 """Driver benchmark entry: prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.md north star): SpMV HBM bandwidth utilization on the
-SuiteSparse 'cant' workload (emulated — no network), fp32 ELL stream, as a
+SuiteSparse 'cant' workload (emulated — no network), fp32 w-SELL stream, as a
 percentage of STREAM-triad bandwidth measured on the same chip with the same
 harness. vs_baseline is the ratio against the >=80%-of-STREAM target.
+
+Robustness (VERDICT r1 item 1b): the axon-tunneled TPU backend raises
+transient UNAVAILABLE on init and can hang during remote compiles. The parent
+process therefore runs the measurement in a child subprocess under a
+stall watchdog, retries with backoff (persistent jax compilation cache makes
+retries cheap), and ALWAYS emits a JSON line — on total failure the line
+carries value 0 and the error tail so the driver records evidence instead of
+rc!=0 with no output.
 """
 
 import json
+import os
+import subprocess
 import sys
+import time
 
-import jax
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+_CHILD_ENV = "SBLAS_BENCH_CHILD"
 
 
-def main():
+def child_main():
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from sblas import datasets
     from sblas.bench_lib import bench_spmv
     from sblas.utils.timing import stream_bandwidth
 
+    # Progress heartbeats on stderr keep the parent watchdog fed.
+    print("[bench] building matrix", file=sys.stderr, flush=True)
     a = datasets.emulate("cant", dtype=np.float32)
+    print("[bench] running spmv bench", file=sys.stderr, flush=True)
     rec = bench_spmv(a, method="auto", validate=True, iters=25)
     stream = rec.extra.get("stream_gbps") or stream_bandwidth()
     pct = 100.0 * rec.gbps / stream
@@ -40,7 +56,103 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def _run_attempt(timeout_s: float, stall_s: float):
+    """Run the child; return (json_line_or_None, rc, tail). Kills on stall."""
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    start = time.time()
+    # Read stderr in a thread so heartbeats reset the stall clock.
+    import threading
+
+    last_activity = [time.time()]
+    err_tail = []
+
+    def drain_err():
+        for line in proc.stderr:
+            last_activity[0] = time.time()
+            err_tail.append(line.decode(errors="replace"))
+            del err_tail[:-30]
+
+    t = threading.Thread(target=drain_err, daemon=True)
+    t.start()
+
+    out_lines = []
+
+    def drain_out():
+        for line in proc.stdout:
+            last_activity[0] = time.time()
+            out_lines.append(line.decode(errors="replace"))
+
+    t2 = threading.Thread(target=drain_out, daemon=True)
+    t2.start()
+
+    killed = None
+    while proc.poll() is None:
+        time.sleep(2)
+        now = time.time()
+        if now - start > timeout_s:
+            killed = "timeout"
+            proc.kill()
+            break
+        if now - last_activity[0] > stall_s:
+            killed = "stall"
+            proc.kill()
+            break
+    proc.wait()
+    t.join(timeout=5)
+    t2.join(timeout=5)
+    json_line = None
+    for line in reversed(out_lines):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                json.loads(line)
+                json_line = line
+                break
+            except ValueError:
+                continue
+    tail = "".join(err_tail[-12:])
+    if killed:
+        tail += f"\n[watchdog] killed child: {killed}"
+    return json_line, proc.returncode, tail
+
+
+def main():
+    if os.environ.get(_CHILD_ENV):
+        return child_main()
+
+    attempts = [(900, 300), (900, 300), (600, 180), (420, 120)]
+    last_tail = ""
+    for i, (timeout_s, stall_s) in enumerate(attempts):
+        print(f"[bench] attempt {i + 1}/{len(attempts)}", file=sys.stderr,
+              flush=True)
+        json_line, rc, tail = _run_attempt(timeout_s, stall_s)
+        last_tail = tail
+        if json_line is not None:
+            print(json_line, flush=True)
+            return 0
+        print(f"[bench] attempt {i + 1} failed rc={rc}\n{tail}",
+              file=sys.stderr, flush=True)
+        time.sleep(min(10 * (i + 1), 30))
+
+    # Total failure: still emit a machine-readable line.
+    out = {
+        "metric": "spmv_hbm_bw_utilization_cant_f32",
+        "value": 0.0,
+        "unit": "% of measured STREAM-triad BW",
+        "vs_baseline": 0.0,
+        "detail": {"error": "all attempts failed", "tail": last_tail[-2000:]},
+    }
+    print(json.dumps(out), flush=True)
+    return 0
 
 
 if __name__ == "__main__":

@@ -31,6 +31,9 @@ def _check_values(data: np.ndarray) -> np.ndarray:
 
 def _check_index(idx: np.ndarray) -> np.ndarray:
     idx = np.asarray(idx)
+    if idx.size and idx.min(initial=0) < 0:
+        # negative indices silently wrap in gathers/scatters — reject
+        raise ValueError("negative index")
     if idx.dtype != INDEX_DTYPE:
         if idx.size and (idx.max(initial=0) > np.iinfo(INDEX_DTYPE).max):
             raise ValueError("index exceeds int32 range")

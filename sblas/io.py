@@ -80,6 +80,16 @@ def read_mtx_coo(path: Union[str, Path], dtype=np.float64) -> COO:
         col = toks[:, 1].astype(np.int64) - 1
         data = np.ones(nnz, dtype=dtype) if pattern else toks[:, 2].astype(dtype)
 
+    # 0-based or otherwise out-of-range indices must fail loudly, not wrap
+    # through downstream gathers (ADVICE r1, low).
+    if nnz and (row.min(initial=0) < 0 or col.min(initial=0) < 0
+                or row.max(initial=-1) >= m or col.max(initial=-1) >= n):
+        raise ValueError(
+            f"index out of range in {path}: rows in "
+            f"[{row.min() + 1}, {row.max() + 1}], cols in "
+            f"[{col.min() + 1}, {col.max() + 1}] (1-based) vs shape {m}x{n}"
+        )
+
     if symmetry in ("symmetric", "skew-symmetric"):
         off = row != col
         sign = -1.0 if symmetry == "skew-symmetric" else 1.0

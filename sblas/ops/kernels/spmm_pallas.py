@@ -110,7 +110,8 @@ class PallasSpmm:
             raise ValueError("X exceeds VMEM staging limit for pallas spmm")
         if w.y_rows * w.sub * k * 4 > _VMEM_Y_LIMIT:
             raise ValueError("Y exceeds VMEM accumulator limit")
-        interpret = jax.default_backend() == "cpu"
+        from ...utils.backend import on_cpu
+        interpret = on_cpu()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(w.num_tiles,),

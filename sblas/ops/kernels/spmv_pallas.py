@@ -121,7 +121,8 @@ class PallasSpmv:
     def _build(self):
         w = self.layout
         T = w.num_tiles
-        interpret = jax.default_backend() == "cpu"
+        from ...utils.backend import on_cpu
+        interpret = on_cpu()
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -73,23 +73,23 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
     n = l.shape[0]
     levels, nlevels = native.level_schedule(l.indptr, l.indices, n,
                                             lower=lower)
+    # levels from level_schedule are already topological in ascending order
+    # for BOTH sweeps (lower=False runs the backward sweep, so level 0 holds
+    # the dependency-free bottom rows) — do NOT reverse for upper; reversing
+    # put dependencies in same-or-later blocks and silently corrupted
+    # sptrsv(U, b, lower=False) on the Pallas path (ADVICE r1, high).
     order = np.lexsort((np.arange(n), levels))  # stable by (level, row)
-    if not lower:
-        # upper-triangular: reverse level order solves from the bottom
-        order = order[::-1].copy()
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
 
     # pad each level to a whole number of 128-row blocks
     level_sizes = np.bincount(levels, minlength=nlevels)
-    if not lower:
-        level_sizes = level_sizes[::-1]
     padded = ((level_sizes + 127) // 128) * 128
     n_pad = int(padded.sum())
     num_blocks = n_pad // 128
     # permuted-padded position of each permuted row
     starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
-    lvl_of_sorted = levels[order] if lower else levels[order]
+    lvl_of_sorted = levels[order]
     # position within level
     pos_in_level = np.zeros(n, dtype=np.int64)
     _, inv_counts = np.unique(lvl_of_sorted, return_index=True)
@@ -112,6 +112,18 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
     indptr = l.indptr.astype(np.int64)
     cols = l.indices.astype(np.int64)
     data = l.data
+
+    # Wavefront safety: every off-diagonal dependency must sit in a strictly
+    # earlier 128-row block than its row (a block's rows solve in one round
+    # group, and padding aligns level boundaries to block boundaries).
+    coo_rows_chk = l.row_ids().astype(np.int64)
+    off_chk = (cols < coo_rows_chk) if lower else (cols > coo_rows_chk)
+    if np.any(slot_of_row[cols[off_chk]] // 128
+              >= slot_of_row[coo_rows_chk[off_chk]] // 128):
+        raise AssertionError(
+            "level schedule violates block topology (dependency in "
+            "same-or-later 128-row block)"
+        )
 
     # diagonal
     diag = np.ones(n, dtype=np.float64)
@@ -355,7 +367,8 @@ class PallasSptrsv:
 
     def _build(self):
         lay = self.layout
-        interpret = jax.default_backend() == "cpu"
+        from ...utils.backend import on_cpu
+        interpret = on_cpu()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(lay.num_tiles,),

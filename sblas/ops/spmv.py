@@ -79,8 +79,22 @@ class SpmvPlan:
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
-        if method == "auto":
+        auto = method == "auto"
+        if auto:
             method = self._pick(a)
+        if method == "pallas" and auto:
+            # PallasSpmv rejects layouts it can't serve well (low w-SELL
+            # fill, x/y too big for VMEM). Under auto-selection that must
+            # fall back to the XLA heuristic, not crash (ADVICE r1, medium).
+            try:
+                from .kernels.spmv_pallas import PallasSpmv
+
+                self._pallas = PallasSpmv(a)
+                self.method = "pallas"
+                self.bytes_per_iter = self._pallas.bytes_per_iter
+                return
+            except ValueError:
+                method = self._xla_heuristic(a)
         self.method = method
         m, n = a.shape
 
@@ -122,21 +136,27 @@ class SpmvPlan:
             raise ValueError(f"unknown spmv method {method!r}")
 
     @staticmethod
-    def _pick(a: CSR) -> str:
+    def _xla_heuristic(a: CSR) -> str:
         deg = a.row_lengths
         mx = int(deg.max(initial=0))
         mean = float(deg.mean()) if a.shape[0] else 0.0
+        return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+
+    @staticmethod
+    def _pick(a: CSR) -> str:
+        from ..utils.backend import on_cpu
+
         if a.dtype == np.float64:
             # Pallas/Mosaic has no f64; XLA emulates it.
-            return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
-        if jax.default_backend() != "cpu":
+            return SpmvPlan._xla_heuristic(a)
+        if not on_cpu():
             try:
                 from .kernels import spmv_pallas  # noqa: F401
 
                 return "pallas"
             except ImportError:
                 pass
-        return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+        return SpmvPlan._xla_heuristic(a)
 
     def device_arrays(self):
         """Pytree of this plan's device-resident arrays.

@@ -61,7 +61,9 @@ class SptrsvPlan:
         self.unit_diagonal = unit_diagonal
         if method == "auto":
             method = "tiles"
-            if l.dtype != np.float64 and jax.default_backend() != "cpu":
+            from ..utils.backend import on_cpu
+
+            if l.dtype != np.float64 and not on_cpu():
                 # XLA gather is ~1 GB/s serial on TPU (measured); the Pallas
                 # wavefront kernel is the only fast path there.
                 method = "pallas"
