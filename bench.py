@@ -24,6 +24,8 @@ _CHILD_ENV = "SBLAS_BENCH_CHILD"
 
 
 def child_main():
+    import threading
+
     import jax
     import numpy as np
 
@@ -34,7 +36,21 @@ def child_main():
     from sblas.bench_lib import bench_spmv
     from sblas.utils.timing import stream_bandwidth
 
-    # Progress heartbeats on stderr keep the parent watchdog fed.
+    # Touch the backend FIRST. If the tunnel is dead this hangs producing no
+    # output, and the parent's stall watchdog kills us quickly. Once devices
+    # come up, a heartbeat thread keeps the watchdog fed through legitimately
+    # slow remote compiles (only the per-attempt hard timeout applies then).
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    def beat():
+        i = 0
+        while True:
+            time.sleep(20)
+            i += 1
+            print(f"[bench] heartbeat {i}", file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+
     print("[bench] building matrix", file=sys.stderr, flush=True)
     a = datasets.emulate("cant", dtype=np.float32)
     print("[bench] running spmv bench", file=sys.stderr, flush=True)
@@ -129,7 +145,10 @@ def main():
     if os.environ.get(_CHILD_ENV):
         return child_main()
 
-    attempts = [(900, 300), (900, 300), (600, 180), (420, 120)]
+    # stall_s only fires while the child is silent (dead tunnel: no device
+    # init, no heartbeat); a live child heartbeats every 20 s, so slow
+    # compiles are bounded by timeout_s alone.
+    attempts = [(900, 150), (900, 150), (600, 120), (420, 120)]
     last_tail = ""
     for i, (timeout_s, stall_s) in enumerate(attempts):
         print(f"[bench] attempt {i + 1}/{len(attempts)}", file=sys.stderr,
@@ -141,7 +160,7 @@ def main():
             return 0
         print(f"[bench] attempt {i + 1} failed rc={rc}\n{tail}",
               file=sys.stderr, flush=True)
-        time.sleep(min(10 * (i + 1), 30))
+        time.sleep(min(15 * (i + 1), 45))
 
     # Total failure: still emit a machine-readable line.
     out = {

@@ -76,15 +76,21 @@ class SpmmPlan:
         self.dtype = a.dtype
         self.nnz = a.nnz
         self._intermediate = intermediate_mb * (1 << 20)
-        if method == "auto":
-            deg = a.row_lengths
-            mx = int(deg.max(initial=0))
-            mean = float(deg.mean()) if a.shape[0] else 0.0
-            stats = bsr_stats(a)
-            if stats["density"] > 0.15 and stats["bytes"] < 4 << 30:
-                method = "bsr"
-            else:
-                method = "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+        auto = method == "auto"
+        if auto:
+            method = self._pick(a)
+        if method == "pallas" and auto:
+            # same fallback contract as SpmvPlan: auto-selection must not
+            # crash when the layout rejects the matrix (VERDICT r1 item 3)
+            try:
+                from .kernels.spmm_pallas import PallasSpmm
+
+                self._pallas = PallasSpmm(a)
+                self.method = "pallas"
+                self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+                return
+            except ValueError:
+                method = self._xla_heuristic(a)
         self.method = method
 
         if method == "ell":
@@ -118,13 +124,33 @@ class SpmmPlan:
         else:
             raise ValueError(f"unknown spmm method {method!r}")
 
+    @staticmethod
+    def _xla_heuristic(a: CSR) -> str:
+        deg = a.row_lengths
+        mx = int(deg.max(initial=0))
+        mean = float(deg.mean()) if a.shape[0] else 0.0
+        stats = bsr_stats(a)
+        if stats["density"] > 0.15 and stats["bytes"] < 4 << 30:
+            return "bsr"
+        return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
+
+    @staticmethod
+    def _pick(a: CSR) -> str:
+        from ..utils.backend import on_cpu
+
+        if a.dtype != np.float64 and not on_cpu():
+            return "pallas"
+        return SpmmPlan._xla_heuristic(a)
+
     def device_arrays(self):
         if self.method == "bsr":
             return {"blocks": self._blocks, "brow": self._brow,
                     "bcol": self._bcol}
         if self.method == "ell":
             return {"val": self._val, "col": self._col}
-        raise NotImplementedError(self.method)
+        if self.method == "bucket":
+            return {"buckets": self._buckets, "perm": self._perm}
+        return self._pallas.device_arrays()
 
     def apply_pure(self, arrs, x):
         """Y = A @ X with arrays passed explicitly (jit-argument safe)."""
@@ -143,6 +169,28 @@ class SpmmPlan:
                 return jnp.einsum("rw,rwk->rk", v, x[c])
 
             return lax.map(f, jnp.arange(mp // blk)).reshape(mp, k)[:m]
+        if self.method == "bucket":
+            k = x.shape[1]
+            partials = []
+            for (val, col), w in zip(arrs["buckets"], self._bucket_widths):
+                mp = val.shape[0]
+                blk = self._blk(w, k, x.dtype.itemsize, mp)
+                if blk >= mp:
+                    partials.append(jnp.einsum("rw,rwk->rk", val, x[col]))
+                else:
+                    def f(i, val=val, col=col, blk=blk):
+                        v = lax.dynamic_slice_in_dim(val, i * blk, blk)
+                        c = lax.dynamic_slice_in_dim(col, i * blk, blk)
+                        return jnp.einsum("rw,rwk->rk", v, x[c])
+
+                    partials.append(
+                        lax.map(f, jnp.arange(mp // blk)).reshape(mp, k)
+                    )
+            flat = jnp.concatenate(partials)
+            return jnp.zeros((m + 1, k),
+                             dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
+        if self.method == "pallas":
+            return self._pallas.apply_pure(arrs, x)
         meta = self._bsr_meta
         pad = meta.num_bcols * meta.bc - self.shape[1]
         x3d = jnp.pad(x, ((0, pad), (0, 0))).reshape(

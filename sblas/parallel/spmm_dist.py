@@ -1,8 +1,10 @@
 """Multi-chip SpMM over the 1D 'chips' mesh (BASELINE config #5 weak scaling).
 
 Same partition/collective structure as spmv_dist: X (n, k) is row-sharded,
-all-gathered over ICI, each chip runs its local ELL x dense contraction, and
-Y comes out row-sharded."""
+all-gathered over ICI, each chip runs its local contraction, and Y comes out
+row-sharded. The local contraction is the Pallas w-SELL SpMM kernel (the
+single-chip fast path) whenever the shards are Pallas-servable and the
+(k-dependent) VMEM staging fits; otherwise the chunked XLA ELL body."""
 
 from __future__ import annotations
 
@@ -13,7 +15,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..formats import CSR
+from ..formats import CSR, INDEX_DTYPE
 from ..partition import partition_rows
 from .mesh import make_mesh, chips_axis
 from .spmv_dist import _stack_ell, _round_up
@@ -21,7 +23,9 @@ from .spmv_dist import _stack_ell, _round_up
 
 class DistSpmmPlan:
     def __init__(self, a: CSR, mesh: Mesh | None = None, *,
-                 strategy: str = "nnz_balanced", row_block: int = 2048):
+                 strategy: str = "nnz_balanced", row_block: int = 2048,
+                 local_method: str = "auto", min_fill: float = 0.2,
+                 th: int = 1024):
         self.mesh = mesh or make_mesh()
         ndev = self.mesh.devices.size
         self.ndev = ndev
@@ -33,23 +37,138 @@ class DistSpmmPlan:
         self.n_pad = self.x_chunk * ndev
 
         part = partition_rows(a, ndev, strategy)
-        col, val, rows_pad, width = _stack_ell(part.parts, n, a.dtype)
+        self._row_starts = [int(r) for r in part.row_starts]
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        self._sh = sh
+
+        self._stacked = None
+        self.local_method = None
+        if local_method in ("auto", "pallas"):
+            try:
+                from .wsell_stack import stack_wsell
+
+                st = stack_wsell(part.parts, self.n_pad, a.dtype,
+                                 min_fill=min_fill, th=th)
+                self._stacked = st
+                self._wr = jax.device_put(st.wrow, sh(P(chips_axis)))
+                self._ob = jax.device_put(st.obase, sh(P(chips_axis)))
+                self._pval = jax.device_put(st.val, sh(P(chips_axis)))
+                self._plcol = jax.device_put(st.lcol, sh(P(chips_axis)))
+                slot = np.empty(m, dtype=np.int64)
+                for d in range(ndev):
+                    r0, r1 = self._row_starts[d], self._row_starts[d + 1]
+                    slot[r0:r1] = d * st.y_rows * st.sub + np.arange(r1 - r0)
+                self._punpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+                self.local_method = "pallas"
+                self.bytes_per_iter_nx = st.bytes_per_iter * ndev
+            except ValueError:
+                if local_method == "pallas":
+                    raise
+        self._ell_parts = part.parts  # kept for lazy ELL fallback
+        self._ell_built = False
+        if self.local_method is None:
+            self._build_ell(a)
+            self.local_method = "ell"
+
+        self._x_sharding = sh(P(chips_axis, None))
+        self._runs = {}
+
+    def _build_ell(self, a: CSR | None = None):
+        if self._ell_built:
+            return
+        m, n = self.shape
+        ndev = self.ndev
+        dtype = self.dtype
+        col, val, rows_pad, width = _stack_ell(self._ell_parts, n, dtype)
         self.rows_pad = rows_pad
         slot = np.empty(m, dtype=np.int64)
         for d in range(ndev):
-            r0, r1 = int(part.row_starts[d]), int(part.row_starts[d + 1])
+            r0, r1 = self._row_starts[d], self._row_starts[d + 1]
             slot[r0:r1] = d * rows_pad + np.arange(r1 - r0)
         self._unpad = jnp.asarray(slot.astype(np.int32))
-        sh = lambda spec: NamedSharding(self.mesh, spec)
-        self._col = jax.device_put(col, sh(P(chips_axis)))
-        self._val = jax.device_put(val, sh(P(chips_axis)))
-        self._x_sharding = sh(P(chips_axis, None))
-        self.bytes_per_iter_nx = col.size * (a.data.itemsize + 4)
-        self._runs = {}
+        self._col = jax.device_put(col, self._sh(P(chips_axis)))
+        self._val = jax.device_put(val, self._sh(P(chips_axis)))
+        self.bytes_per_iter_nx = col.size * (dtype.itemsize + 4)
+        self._ell_built = True
+
+    def _pallas_fits(self, k: int) -> bool:
+        from .wsell_stack import VMEM_X_LIMIT, VMEM_Y_LIMIT
+
+        st = self._stacked
+        if st is None:
+            return False
+        return (k * st.x2d_rows * 128 * 4 <= VMEM_X_LIMIT
+                and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT)
 
     def _get_run(self, k: int):
         if k in self._runs:
             return self._runs[k]
+        if self.local_method == "pallas" and self._pallas_fits(k):
+            run = ("pallas", self._build_run_pallas(k))
+        else:
+            if self.local_method == "pallas":
+                self._build_ell()  # VMEM-bound k: lazy XLA fallback
+            run = ("ell", self._build_run_ell(k))
+        self._runs[k] = run
+        return run
+
+    def _build_run_pallas(self, k: int):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.kernels.spmm_pallas import _kernel
+        from ..retile_wsell import LANES
+        from ..utils.backend import on_cpu
+
+        m, n = self.shape
+        st = self._stacked
+        n_pad = self.n_pad
+        xpad = st.x2d_rows * LANES - n_pad
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(st.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            _kernel(st.th, st.sub, st.nwin, st.wgroup, k),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((st.y_rows, k * st.sub),
+                                           jnp.float32),
+            interpret=on_cpu(),
+        )
+
+        def body(wr, ob, val, lcol, x_shard):
+            x_full = lax.all_gather(x_shard, chips_axis, tiled=True)  # (n_pad, k)
+            xt = jnp.pad(x_full.astype(jnp.float32), ((0, xpad), (0, 0)))
+            xt = xt.reshape(st.x2d_rows, LANES, k).transpose(2, 0, 1)
+            y = call(wr[0], ob[0], xt, val[0], lcol[0])  # (y_rows, k*sub)
+            return y[None]
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(chips_axis),) * 4 + (P(chips_axis, None),),
+            out_specs=P(chips_axis, None, None),
+            check_vma=False,
+        )
+        unpad = self._punpad
+        dtype = self.dtype
+        y_rows, sub = st.y_rows, st.sub
+
+        @jax.jit
+        def run(wr, ob, val, lcol, x_pad):
+            y = fn(wr, ob, val, lcol, x_pad)  # (ndev, y_rows, k*sub)
+            y = y.reshape(-1, y_rows, k, sub).transpose(0, 1, 3, 2)
+            return y.reshape(-1, k)[unpad].astype(dtype)
+
+        return run
+
+    def _build_run_ell(self, k: int):
         m, n = self.shape
         rows_pad = self.rows_pad
         blk = min(_round_up(self.row_block, 8), rows_pad)
@@ -81,7 +200,6 @@ class DistSpmmPlan:
             y = fn(col, val, x_pad)
             return y.reshape(-1, k)[unpad]
 
-        self._runs[k] = run
         return run
 
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
@@ -92,7 +210,11 @@ class DistSpmmPlan:
         k = x.shape[1]
         x_pad = jnp.zeros((self.n_pad, k), dtype=self.dtype).at[:n].set(x)
         x_pad = jax.device_put(x_pad, self._x_sharding)
-        out = self._get_run(k)(self._col, self._val, x_pad)
+        kind, run = self._get_run(k)
+        if kind == "pallas":
+            out = run(self._wr, self._ob, self._pval, self._plcol, x_pad)
+        else:
+            out = run(self._col, self._val, x_pad)
         out = alpha * out
         if y is not None:
             out = out + beta * jnp.asarray(y, dtype=self.dtype)

@@ -47,10 +47,18 @@ def _stack_ell(parts, n, dtype):
 
 
 class DistSpmvPlan:
-    """Partition + retile + shard_map executor for one matrix on one mesh."""
+    """Partition + retile + shard_map executor for one matrix on one mesh.
+
+    Local compute inside the shard_map body is the single-chip Pallas w-SELL
+    kernel whenever the shards are Pallas-servable (f32, dense-enough fill,
+    VMEM fits); otherwise the XLA ELL gather body. ``local_method`` records
+    which."""
 
     def __init__(self, a: CSR, mesh: Mesh | None = None, *,
-                 strategy: str = "nnz_balanced"):
+                 strategy: str = "nnz_balanced", local_method: str = "auto",
+                 min_fill: float = 0.2, th: int = 1024):
+        self._min_fill = min_fill
+        self._th = th
         self.mesh = mesh or make_mesh()
         ndev = self.mesh.devices.size
         self.ndev = ndev
@@ -65,46 +73,161 @@ class DistSpmvPlan:
 
         if strategy in ("even_rows", "nnz_balanced"):
             part = partition_rows(a, ndev, strategy)
-            col, val, rows_pad, width = _stack_ell(part.parts, n, a.dtype)
-            self.rows_pad = rows_pad
-            # map padded slots -> original rows for the final unpad gather
-            slot = np.empty(m, dtype=np.int64)
-            for d in range(ndev):
-                r0, r1 = int(part.row_starts[d]), int(part.row_starts[d + 1])
-                slot[r0:r1] = d * rows_pad + np.arange(r1 - r0)
-            self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
-            self._col = jax.device_put(col, sh(P(chips_axis)))
-            self._val = jax.device_put(val, sh(P(chips_axis)))
             self.nnz_balance = part.balance()
             self._split = False
-            self.bytes_per_iter = col.size * (a.data.itemsize + 4)
+            local_parts = part.parts
+            row_starts = [int(r) for r in part.row_starts]
         elif strategy == "nnz_split":
             part = partition_nnz_split(a, ndev)
-            # Each device computes a partial y of full length m (scattered to
-            # its row span); merge = psum. Build per-device ELL in *global*
-            # row coordinates padded to m_pad rows.
-            m_pad = _round_up(m, 8)
-            ells = [to_ell(p) for p in part.parts]
-            width = max(e.width for e in ells)
-            col = np.zeros((ndev, m_pad, width), dtype=INDEX_DTYPE)
-            val = np.zeros((ndev, m_pad, width), dtype=a.dtype)
-            for d, e in enumerate(ells):
-                r0 = int(part.first_row[d])
-                if e.m:
-                    col[d, r0: r0 + e.m, : e.width] = e.col[: e.m]
-                    val[d, r0: r0 + e.m, : e.width] = e.val[: e.m]
-            self.rows_pad = m_pad
-            self._col = jax.device_put(col, sh(P(chips_axis)))
-            self._val = jax.device_put(val, sh(P(chips_axis)))
             self._split = True
-            self.bytes_per_iter = col.size * (a.data.itemsize + 4)
+            # partial-y merge via psum: express each shard in GLOBAL row
+            # coordinates (full (m, n) shape, empty rows elsewhere)
+            from ..formats import COO, coo_to_csr
+
+            local_parts = []
+            for d, p in enumerate(part.parts):
+                coo = p.tocoo()
+                r0 = int(part.first_row[d])
+                local_parts.append(coo_to_csr(COO(
+                    (m, n), coo.row.astype(np.int64) + r0, coo.col, coo.data
+                )))
+            row_starts = None
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
+
+        self.local_method = None
+        if local_method in ("auto", "pallas"):
+            try:
+                self._init_pallas(local_parts, row_starts, sh)
+                self.local_method = "pallas"
+            except ValueError:
+                if local_method == "pallas":
+                    raise
+        if self.local_method is None:
+            self._init_ell(local_parts, row_starts, sh, a)
+            self.local_method = "ell"
 
         self._x_sharding = sh(P(chips_axis))
         self._build_fn()
 
+    def _init_pallas(self, parts, row_starts, sh):
+        from .wsell_stack import stack_wsell
+
+        m, n = self.shape
+        st = stack_wsell(parts, self.n_pad, self.dtype,
+                         min_fill=self._min_fill, th=self._th)
+        self._stacked = st
+        self.bytes_per_iter = st.bytes_per_iter * self.ndev
+        self._val = jax.device_put(st.val, sh(P(chips_axis)))
+        self._lcol = jax.device_put(st.lcol, sh(P(chips_axis)))
+        self._wr = jax.device_put(st.wrow, sh(P(chips_axis)))
+        self._ob = jax.device_put(st.obase, sh(P(chips_axis)))
+        if not self._split:
+            slot = np.empty(m, dtype=np.int64)
+            for d in range(self.ndev):
+                r0, r1 = row_starts[d], row_starts[d + 1]
+                slot[r0:r1] = d * st.y_rows * st.sub + np.arange(r1 - r0)
+            self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+
+    def _init_ell(self, parts, row_starts, sh, a):
+        m, n = self.shape
+        ndev = self.ndev
+        if not self._split:
+            col, val, rows_pad, width = _stack_ell(parts, n, a.dtype)
+            self.rows_pad = rows_pad
+            # map padded slots -> original rows for the final unpad gather
+            slot = np.empty(m, dtype=np.int64)
+            for d in range(ndev):
+                r0, r1 = row_starts[d], row_starts[d + 1]
+                slot[r0:r1] = d * rows_pad + np.arange(r1 - r0)
+            self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+        else:
+            # parts are already global-shape; ELL them into m_pad rows
+            m_pad = _round_up(m, 8)
+            ells = [to_ell(p) for p in parts]
+            width = max(e.width for e in ells)
+            col = np.zeros((ndev, m_pad, width), dtype=INDEX_DTYPE)
+            val = np.zeros((ndev, m_pad, width), dtype=a.dtype)
+            for d, e in enumerate(ells):
+                if e.m:
+                    col[d, : e.m, : e.width] = e.col[: e.m]
+                    val[d, : e.m, : e.width] = e.val[: e.m]
+            self.rows_pad = m_pad
+        self._col = jax.device_put(col, sh(P(chips_axis)))
+        self._val = jax.device_put(val, sh(P(chips_axis)))
+        self.bytes_per_iter = col.size * (a.data.itemsize + 4)
+
     def _build_fn(self):
+        if self.local_method == "pallas":
+            self._build_fn_pallas()
+        else:
+            self._build_fn_ell()
+
+    def _build_fn_pallas(self):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.kernels.spmv_pallas import _kernel
+        from ..retile_wsell import LANES
+        from ..utils.backend import on_cpu
+
+        m, n = self.shape
+        st = self._stacked
+        n_pad = self.n_pad
+        split = self._split
+        xpad = st.x2d_rows * LANES - n_pad
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(st.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d whole
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            _kernel(st.th, st.sub, st.nwin, st.wgroup),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((st.y_rows, st.sub), jnp.float32),
+            interpret=on_cpu(),
+        )
+
+        def body(wr, ob, val, lcol, x_shard):
+            x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
+            x2d = jnp.pad(x_full.astype(jnp.float32),
+                          (0, xpad)).reshape(st.x2d_rows, LANES)
+            y = call(wr[0], ob[0], x2d, val[0], lcol[0])  # (y_rows, sub)
+            if split:
+                y = lax.psum(y, chips_axis)
+            return y[None]
+
+        out_spec = P(None, None, None) if split else P(chips_axis, None, None)
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(chips_axis),) * 4 + (P(chips_axis),),
+            out_specs=out_spec,
+            check_vma=False,
+        )
+        dtype = self.dtype
+
+        if split:
+            @jax.jit
+            def run(wr, ob, val, lcol, x_pad):
+                y = fn(wr, ob, val, lcol, x_pad)
+                return y.reshape(-1)[:m].astype(dtype)
+        else:
+            unpad = self._unpad
+
+            @jax.jit
+            def run(wr, ob, val, lcol, x_pad):
+                y = fn(wr, ob, val, lcol, x_pad)  # (ndev, y_rows, sub)
+                return y.reshape(-1)[unpad].astype(dtype)
+
+        self._run_pallas = run
+
+    def _build_fn_ell(self):
         m, n = self.shape
         n_pad, ndev = self.n_pad, self.ndev
         split = self._split
@@ -147,7 +270,11 @@ class DistSpmvPlan:
             raise ValueError(f"x must have shape ({n},)")
         x_pad = jnp.zeros(self.n_pad, dtype=self.dtype).at[:n].set(x)
         x_pad = jax.device_put(x_pad, self._x_sharding)
-        out = self._run(self._col, self._val, x_pad)
+        if self.local_method == "pallas":
+            out = self._run_pallas(self._wr, self._ob, self._val, self._lcol,
+                                   x_pad)
+        else:
+            out = self._run(self._col, self._val, x_pad)
         out = alpha * out
         if y is not None:
             out = out + beta * jnp.asarray(y, dtype=self.dtype)

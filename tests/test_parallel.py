@@ -90,3 +90,59 @@ def test_ring_matches_allgather(mesh8):
     y_ring = np.asarray(RingSpmvPlan(a, mesh8)(x))
     y_ag = np.asarray(DistSpmvPlan(a, mesh8)(x))
     assert rel_err(y_ring, y_ag) < 1e-5
+
+
+@pytest.mark.parametrize("strategy", ["nnz_balanced", "nnz_split"])
+def test_dist_spmv_pallas_body(mesh8, strategy):
+    # The shard_map body must be able to run the single-chip Pallas w-SELL
+    # kernel per chip (interpret mode here); th=128 keeps the unroll small.
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(30).standard_normal(a.shape[1]).astype(np.float32)
+    p = DistSpmvPlan(a, mesh8, strategy=strategy, local_method="pallas",
+                     min_fill=0.05, th=128)
+    assert p.local_method == "pallas"
+    y = np.asarray(p(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-5
+
+
+def test_dist_spmm_pallas_body(mesh8):
+    from sblas.parallel.spmm_dist import DistSpmmPlan
+
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(31).standard_normal((a.shape[1], 8)).astype(np.float32)
+    p = DistSpmmPlan(a, mesh8, local_method="pallas", min_fill=0.05, th=128)
+    assert p.local_method == "pallas"
+    y = np.asarray(p(x))
+    assert rel_err(y, spmm_golden(a, x)) < 1e-5
+
+
+def test_dist_auto_falls_back_on_f64(mesh8):
+    a = datasets.random_csr(256, 256, 8, seed=32, dtype=np.float64)
+    p = DistSpmvPlan(a, mesh8)
+    assert p.local_method == "ell"
+
+
+def test_dist_sptrsv_batching_reduces_collectives(mesh8):
+    # Level batching must fuse chains into few exchanges and the shrunk
+    # all_gather must move far fewer bytes than one length-n psum per level
+    # (SURVEY.md hard-part 5; VERDICT r1 item 7).
+    a = datasets.spd_diag_dominant(200, 5, bandwidth=12, seed=4,
+                                   dtype=np.float64)
+    l = datasets.cholesky_factor(a, dtype=np.float64)
+    b = np.random.default_rng(40).standard_normal(l.shape[0])
+    p = DistSptrsvPlan(l, mesh8)
+    x = np.asarray(p(b))
+    assert rel_err(x, sptrsv_golden(l, b)) < 1e-10
+    assert p.nbatches < p.nlevels / 4
+    old_bytes = p.nlevels * (l.shape[0] + 2) * 8
+    assert p.collective_bytes < old_bytes / 2
+
+
+def test_dist_sptrsv_upper(mesh8):
+    from sblas.formats import csr_transpose
+
+    lo = datasets.lower_triangular(250, 5, seed=41, dtype=np.float64)
+    u = csr_transpose(lo)
+    b = np.random.default_rng(42).standard_normal(250)
+    x = np.asarray(DistSptrsvPlan(u, mesh8, lower=False)(b))
+    assert rel_err(x, sptrsv_golden(u, b, lower=False)) < 1e-10
