@@ -41,9 +41,11 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
     m, n = a.shape
     if m != n:
         raise ValueError("bench uses square matrices (carry feedback)")
-    plan = SpmvPlan(a, method)
+    with jax.profiler.TraceAnnotation("retile"):
+        plan = SpmvPlan(a, method)
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal(n).astype(a.dtype))
+    with jax.profiler.TraceAnnotation("H2D"):
+        x0 = jnp.asarray(rng.standard_normal(n).astype(a.dtype))
 
     extra = {"method": plan.method, "nnz": a.nnz, "m": m,
              "dtype": str(np.dtype(a.dtype)),
@@ -57,8 +59,10 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
     def step(x, arrs, x0):
         return x0 + _EPS * plan.apply_pure(arrs, x)
 
-    per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,
-                                   iters_lo=max(iters // 5, 2), iters_hi=iters)
+    with jax.profiler.TraceAnnotation("kernel"):
+        per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
     feedback_bytes = 2 * n * a.data.itemsize
     rec = BenchRecord(
         name="spmv", seconds_per_iter=per, flops=2.0 * a.nnz,
@@ -75,9 +79,11 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
     m, n = a.shape
     if m != n:
         raise ValueError("bench uses square matrices")
-    plan = SpmmPlan(a, method)
+    with jax.profiler.TraceAnnotation("retile"):
+        plan = SpmmPlan(a, method)
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((n, k)).astype(a.dtype))
+    with jax.profiler.TraceAnnotation("H2D"):
+        x0 = jnp.asarray(rng.standard_normal((n, k)).astype(a.dtype))
 
     extra = {"method": plan.method, "nnz": a.nnz, "m": m, "k": k,
              "dtype": str(np.dtype(a.dtype))}
@@ -90,8 +96,10 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
     def step(x, arrs, x0):
         return x0 + _EPS * plan.apply_pure(arrs, x)
 
-    per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,
-                                   iters_lo=max(iters // 5, 2), iters_hi=iters)
+    with jax.profiler.TraceAnnotation("kernel"):
+        per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
     x_traffic = n * k * a.data.itemsize
     feedback = 2 * n * k * a.data.itemsize
     rec = BenchRecord(
@@ -212,27 +220,38 @@ def bench_dist_spmv(a: CSR, mesh=None, *, strategy: str = "nnz_balanced",
 
     mesh = mesh or make_mesh()
     m, n = a.shape
-    plan = DistSpmvPlan(a, mesh, strategy=strategy)
+    with jax.profiler.TraceAnnotation("retile"):
+        plan = DistSpmvPlan(a, mesh, strategy=strategy)
     x0 = np.random.default_rng(0).standard_normal(n).astype(a.dtype)
 
-    extra = {"strategy": strategy, "ndev": plan.ndev, "nnz": a.nnz, "m": m}
+    extra = {"strategy": strategy, "ndev": plan.ndev, "nnz": a.nnz, "m": m,
+             "local_method": plan.local_method}
     if validate:
         y = np.asarray(plan(x0))
         err = rel_err(y, spmv_golden(a, x0))
         extra["rel_err"] = err
         assert err < default_tol(a.dtype), f"validation failed: {err}"
 
-    run = plan._run
-    x_pad0 = jnp.zeros(plan.n_pad, dtype=plan.dtype).at[:n].set(jnp.asarray(x0))
-    x_pad0 = jax.device_put(x_pad0, plan._x_sharding)
+    if plan.local_method == "pallas":
+        run = plan._run_pallas
+        arrs = (plan._wr, plan._ob, plan._val, plan._lcol)
+    else:
+        run = plan._run
+        arrs = (plan._col, plan._val)
+    with jax.profiler.TraceAnnotation("H2D"):
+        x_pad0 = jnp.zeros(plan.n_pad,
+                           dtype=plan.dtype).at[:n].set(jnp.asarray(x0))
+        x_pad0 = jax.device_put(x_pad0, plan._x_sharding)
     n_pad = plan.n_pad
 
-    def step(x_pad, col, val, x_pad0):
-        y = run(col, val, x_pad)
-        return x_pad0 + _EPS * jnp.pad(y, (0, n_pad - m))[:n_pad]
+    def step(x_pad, *rest):
+        y = run(*rest[:-1], x_pad)
+        return rest[-1] + _EPS * jnp.pad(y, (0, n_pad - m))[:n_pad]
 
-    per = measure_seconds_per_iter(step, x_pad0, plan._col, plan._val, x_pad0,
-                                   iters_lo=max(iters // 5, 2), iters_hi=iters)
+    with jax.profiler.TraceAnnotation("kernel"):
+        per = measure_seconds_per_iter(step, x_pad0, *arrs, x_pad0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
     rec = BenchRecord(
         name=f"dist_spmv_{strategy}", seconds_per_iter=per,
         flops=2.0 * a.nnz, bytes=plan.bytes_per_iter, extra=extra,

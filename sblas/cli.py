@@ -36,15 +36,11 @@ def _load_matrix(spec: str, scale: float, dtype):
         n, d = int(parts[1]), float(parts[2])
         return datasets.lower_triangular(n, d, dtype=dtype)
     if spec.startswith("chol:"):
+        # No silent substitution: a benchmark labeled chol:X must measure a
+        # real Cholesky factor or fail loudly (VERDICT r1 weak #7).
         base = spec.split(":", 1)[1]
         a = _load_matrix(base, scale, np.float64)
-        from .formats import tril
-        try:
-            return datasets.cholesky_factor(a, dtype=dtype)
-        except Exception:
-            # fall back: lower triangle with dominant diagonal
-            return datasets.lower_triangular(a.shape[0], a.nnz / a.shape[0],
-                                             dtype=dtype)
+        return datasets.cholesky_factor(a, dtype=dtype)
     if spec.startswith("random:"):
         parts = spec.split(":")
         m, d = int(parts[1]), float(parts[2])

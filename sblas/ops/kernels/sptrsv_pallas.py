@@ -69,7 +69,45 @@ class TrsvLayout:
 
 
 def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
-                 th: int = 256) -> TrsvLayout:
+                 th: int = 256, cache: bool = True) -> TrsvLayout:
+    """Level-set analysis + round packing, persisted across runs for large
+    matrices via plan_cache (SURVEY.md §5 checkpoint analogue)."""
+    from ... import plan_cache
+
+    if (cache and plan_cache.cache_enabled()
+            and l.nnz >= plan_cache.MIN_CACHE_NNZ):
+        params = {"lower": lower, "unit": unit_diagonal, "th": th, "v": 1}
+
+        def build():
+            lay = _build_layout_impl(l, lower=lower,
+                                     unit_diagonal=unit_diagonal, th=th)
+            return {
+                "perm": lay.perm, "slot": lay.slot_of_row, "val": lay.val,
+                "lcol": lay.lcol, "wrow": lay.round_wrow,
+                "oblk": lay.round_oblk, "final": lay.round_final,
+                "bfirst": lay.round_bfirst, "invd": lay.inv_diag,
+                "meta": np.array([lay.n, lay.nnz, lay.nlevels,
+                                  lay.num_blocks, lay.num_tiles, lay.th,
+                                  lay.x2d_rows], dtype=np.int64),
+            }
+
+        d = plan_cache.cached_arrays(l, "trsv", params, build)
+        mt = d["meta"]
+        return TrsvLayout(
+            n=int(mt[0]), nnz=int(mt[1]), nlevels=int(mt[2]),
+            num_blocks=int(mt[3]), num_tiles=int(mt[4]), th=int(mt[5]),
+            perm=d["perm"], slot_of_row=d["slot"], val=d["val"],
+            lcol=d["lcol"], round_wrow=d["wrow"], round_oblk=d["oblk"],
+            round_final=d["final"], round_bfirst=d["bfirst"],
+            inv_diag=d["invd"], x2d_rows=int(mt[6]),
+        )
+    return _build_layout_impl(l, lower=lower, unit_diagonal=unit_diagonal,
+                              th=th)
+
+
+def _build_layout_impl(l: CSR, *, lower: bool = True,
+                       unit_diagonal: bool = False,
+                       th: int = 256) -> TrsvLayout:
     n = l.shape[0]
     levels, nlevels = native.level_schedule(l.indptr, l.indices, n,
                                             lower=lower)

@@ -195,12 +195,15 @@ class DistSpmvPlan:
         )
 
         def body(wr, ob, val, lcol, x_shard):
-            x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
+            with jax.named_scope("collective"):
+                x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
             x2d = jnp.pad(x_full.astype(jnp.float32),
                           (0, xpad)).reshape(st.x2d_rows, LANES)
-            y = call(wr[0], ob[0], x2d, val[0], lcol[0])  # (y_rows, sub)
+            with jax.named_scope("kernel"):
+                y = call(wr[0], ob[0], x2d, val[0], lcol[0])  # (y_rows, sub)
             if split:
-                y = lax.psum(y, chips_axis)
+                with jax.named_scope("collective"):
+                    y = lax.psum(y, chips_axis)
             return y[None]
 
         out_spec = P(None, None, None) if split else P(chips_axis, None, None)
@@ -234,10 +237,13 @@ class DistSpmvPlan:
 
         def body(col, val, x_shard):
             # col/val: (1, rows_pad, W) local; x_shard: (x_chunk,)
-            x_full = lax.all_gather(x_shard, chips_axis, tiled=True)  # (n_pad,)
-            y_loc = jnp.sum(val[0] * x_full[col[0]], axis=1)  # (rows_pad,)
+            with jax.named_scope("collective"):
+                x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
+            with jax.named_scope("kernel"):
+                y_loc = jnp.sum(val[0] * x_full[col[0]], axis=1)
             if split:
-                y_loc = lax.psum(y_loc, chips_axis)
+                with jax.named_scope("collective"):
+                    y_loc = lax.psum(y_loc, chips_axis)
             return y_loc[None]
 
         out_spec = P(None, None) if split else P(chips_axis, None)

@@ -47,6 +47,11 @@ def cached_arrays(
     ).hexdigest()[:12]
     path = root / f"{key}.npz"
     if path.exists():
+        import logging
+
+        logging.getLogger("sblas").info(
+            "plan_cache hit: %s (skipping repack)", path.name
+        )
         with np.load(path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
     out = build()
@@ -55,6 +60,17 @@ def cached_arrays(
     )
     root.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(".tmp.npz")
-    np.savez_compressed(tmp, **out)
+    # uncompressed: float layouts compress poorly and write speed matters
+    np.savez(tmp, **out)
     os.replace(tmp, path)
     return out
+
+
+def cache_enabled() -> bool:
+    """Layout caching is on unless SBLAS_NO_CACHE is set."""
+    return not os.environ.get("SBLAS_NO_CACHE")
+
+
+# Matrices below this nnz are cheap to repack; caching them would just
+# litter ~/.cache (tests generate thousands of tiny matrices).
+MIN_CACHE_NNZ = 200_000

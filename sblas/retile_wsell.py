@@ -161,14 +161,49 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
 
 
 def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2,
-               wgroup: int = 8) -> WSell:
+               wgroup: int = 8, cache: bool = True) -> WSell:
     """Pack a CSR matrix into w-SELL v3 tiles.
 
     ``nwin`` (1 or 2): panels per round window. With 2, a round admits rows
     whose next chunk sits in panel w or w+1 (lcol in [0, 256)), roughly
     halving round count on FEM bands whose rows sit at staggered panel
     offsets, at the cost of a second gather + select in the kernel.
+
+    Large matrices' packings persist across runs via plan_cache (keyed by
+    matrix digest + params); pass ``cache=False`` to force a repack.
     """
+    from . import plan_cache
+
+    if (cache and plan_cache.cache_enabled()
+            and a.nnz >= plan_cache.MIN_CACHE_NNZ):
+        params = {"th": th, "sub": sub, "nwin": nwin, "wgroup": wgroup,
+                  "v": 3}
+
+        def build():
+            w = _pack_wsell_impl(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
+            return {
+                "val": w.val, "lcol": w.lcol, "wrow": w.round_wrow,
+                "obase": w.round_obase,
+                "meta": np.array([w.m, w.n, w.nnz, w.th, w.sub, w.nwin,
+                                  w.wgroup, w.num_tiles, w.num_rounds,
+                                  w.x2d_rows, w.y_rows], dtype=np.int64),
+            }
+
+        d = plan_cache.cached_arrays(a, "wsell", params, build)
+        mt = d["meta"]
+        return WSell(
+            m=int(mt[0]), n=int(mt[1]), nnz=int(mt[2]), th=int(mt[3]),
+            sub=int(mt[4]), nwin=int(mt[5]), wgroup=int(mt[6]),
+            num_tiles=int(mt[7]), num_rounds=int(mt[8]),
+            val=d["val"], lcol=d["lcol"], round_wrow=d["wrow"],
+            round_obase=d["obase"],
+            x2d_rows=int(mt[9]), y_rows=int(mt[10]),
+        )
+    return _pack_wsell_impl(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
+
+
+def _pack_wsell_impl(a: CSR, *, th: int, sub: int, nwin: int,
+                     wgroup: int) -> WSell:
     m, n = a.shape
     if sub <= 0:
         sub = pick_sub(a)

@@ -95,3 +95,41 @@ def test_plan_cache_roundtrip(tmp_path):
     # different matrix -> different digest
     b = datasets.random_csr(50, 50, 5, seed=41)
     assert matrix_digest(a) != matrix_digest(b)
+
+
+def test_pack_wsell_uses_plan_cache(tmp_path, monkeypatch):
+    # second pack of a big-enough matrix must come from the persistent cache
+    # (VERDICT r1 item 8): same arrays, one .npz on disk, no repack call
+    import sblas.plan_cache as pc
+    from sblas.retile_wsell import pack_wsell
+    from sblas import retile_wsell
+
+    monkeypatch.setattr(pc, "MIN_CACHE_NNZ", 1)
+    monkeypatch.setattr(pc, "_DEFAULT_DIR", str(tmp_path))
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    w1 = pack_wsell(a)
+    assert len(list(tmp_path.glob("wsell-*.npz"))) == 1
+    calls = []
+    orig = retile_wsell._pack_wsell_impl
+    monkeypatch.setattr(retile_wsell, "_pack_wsell_impl",
+                        lambda *a_, **k: calls.append(1) or orig(*a_, **k))
+    w2 = pack_wsell(a)
+    assert not calls, "second pack must hit the cache, not repack"
+    np.testing.assert_array_equal(w1.val, w2.val)
+    np.testing.assert_array_equal(w1.lcol, w2.lcol)
+    assert (w1.num_tiles, w1.sub, w1.y_rows) == (w2.num_tiles, w2.sub, w2.y_rows)
+
+
+def test_trsv_layout_uses_plan_cache(tmp_path, monkeypatch):
+    import sblas.plan_cache as pc
+    from sblas.ops.kernels.sptrsv_pallas import build_layout
+
+    monkeypatch.setattr(pc, "MIN_CACHE_NNZ", 1)
+    monkeypatch.setattr(pc, "_DEFAULT_DIR", str(tmp_path))
+    l = datasets.lower_triangular(300, 5, seed=3, dtype=np.float32)
+    l1 = build_layout(l)
+    assert len(list(tmp_path.glob("trsv-*.npz"))) == 1
+    l2 = build_layout(l)
+    np.testing.assert_array_equal(l1.val, l2.val)
+    np.testing.assert_array_equal(l1.slot_of_row, l2.slot_of_row)
+    assert l1.nlevels == l2.nlevels
