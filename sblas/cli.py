@@ -80,6 +80,8 @@ def main(argv=None):
                                 description="TPU sparse BLAS benchmarks")
     p.add_argument("--x64", action="store_true",
                    help="enable jax x64 (required for f64)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="pin the jax platform (cpu = interpret-mode kernels)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp, tri=False):
@@ -96,7 +98,8 @@ def main(argv=None):
     sp = sub.add_parser("spmv")
     common(sp)
     sp.add_argument("--method", default="auto",
-                    choices=["auto", "coo", "ell", "bucket", "pallas"])
+                    choices=["auto", "coo", "ell", "bucket", "pallas",
+                             "pseg"])
 
     sp = sub.add_parser("spmm")
     common(sp)
@@ -123,6 +126,10 @@ def main(argv=None):
 
     import jax
 
+    if args.platform:
+        # must happen before ANY device API: the tunneled TPU client can
+        # hang at init (see utils/backend.py)
+        jax.config.update("jax_platforms", args.platform)
     if args.x64 or getattr(args, "dtype", "f32") in ("f64", "float64"):
         jax.config.update("jax_enable_x64", True)
 

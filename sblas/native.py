@@ -70,7 +70,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sblas_pack_trsv_f32.restype = ctypes.c_int64
     lib.sblas_pack_trsv_f32.argtypes = [
         i32p, i32p, f64p, i32p, i32p, f64p,
-        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         f32p, i32p, i32p, i32p, i32p, i32p,
     ]
     _lib = lib
@@ -194,7 +194,7 @@ def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
 
 
 def pack_trsv_rounds(indptr, indices, data, row_of_slot, slot_of_row,
-                     inv_diag, n_pad, lower):
+                     inv_diag, n_pad, lower, dense_from_slot=None):
     """Native SpTRSV round builder (see sptrsv_pallas.build_layout).
     Returns (R, val, lcol, wrow, oblk, final, bfirst) or None."""
     lib = _build_and_load()
@@ -219,10 +219,12 @@ def pack_trsv_rounds(indptr, indices, data, row_of_slot, slot_of_row,
     oblk = np.empty(max_rounds, dtype=np.int32)
     final = np.empty(max_rounds, dtype=np.int32)
     bfirst = np.empty(max_rounds, dtype=np.int32)
+    if dense_from_slot is None:
+        dense_from_slot = n_pad
     R = lib.sblas_pack_trsv_f32(
         _as_i32p(indptr), _as_i32p(indices), _as_f64p(data),
         _as_i32p(row_of_slot), _as_i32p(slot_of_row), _as_f64p(inv_diag),
-        n_pad, int(lower), max_rounds,
+        n_pad, int(lower), int(dense_from_slot), max_rounds,
         val.ctypes.data_as(f32p), _as_i32p(lcol), _as_i32p(wrow),
         _as_i32p(oblk), _as_i32p(final), _as_i32p(bfirst),
     )

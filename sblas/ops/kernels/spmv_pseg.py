@@ -1,0 +1,198 @@
+"""Pallas TPU SpMV kernel over the PSEG layout (scattered/power-law fast
+path — SURVEY.md §7 hard-part 4, VERDICT r1 item 6).
+
+Per (8 x 128) round (see retile_pseg for the layout):
+
+  1. two-panel window gather of x from VMEM (identical to spmv_pallas),
+  2. p = val * g,
+  3. scatter-by-sublane: out_block[ts, l] = sum_s p[s, l] * [tsb[s,l] == ts]
+     — 8 masked sublane-reductions on the VPU (~25 ops/slot, far below the
+     HBM bound), accumulated into the round's (8,128) y2d block.
+
+The executor wraps the kernel with HUB RELABELING: power-law matrices get
+their columns permuted by descending popularity (hot hub columns land in
+panel 0/1 so nearly all nnz satisfy the 2-panel window) and rows by
+descending degree (blocks hold similar-degree rows, balancing the per-lane
+8-slot round capacity). The kernel then runs in permuted space;
+``apply_permuted`` is the zero-overhead path for iterative use and the
+benchmark (precedent: PallasSptrsv.solve_permuted), while ``apply_pure``
+adds the two device-side permutation gathers for drop-in correctness.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...formats import CSR
+from ...retile_pseg import pack_pseg, PSeg, SUBLANES, LANES, BLOCK_ROWS
+
+_VMEM_X_LIMIT = 24 * (1 << 20)
+_VMEM_Y_LIMIT = 8 * (1 << 20)
+
+
+def _kernel(th):
+    ns = th // SUBLANES
+
+    def kern(wrow_ref, oblk_ref, x2d_ref, val_ref, col_ref, tsb_ref, out_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for i in range(ns):
+            w = wrow_ref[t * ns + i]
+            b = oblk_ref[t * ns + i]
+            v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.float32)
+            c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
+            tsb = tsb_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
+            xw = x2d_ref[pl.ds(w, 1), :]
+            table = jnp.broadcast_to(xw, (SUBLANES, 128))
+            xw1 = x2d_ref[pl.ds(w + 1, 1), :]
+            table1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+            g0 = jnp.take_along_axis(table, jnp.minimum(c, 127), axis=1)
+            g1 = jnp.take_along_axis(table1, jnp.maximum(c - 128, 0), axis=1)
+            g = jnp.where(c < 128, g0, g1)
+            p = v * g                                      # (8, 128)
+            parts = [
+                jnp.sum(p * (tsb == ts).astype(jnp.float32), axis=0,
+                        keepdims=True)
+                for ts in range(SUBLANES)
+            ]
+            outb = jnp.concatenate(parts, axis=0)          # (8, 128)
+            slab = b * SUBLANES
+            cur = out_ref[pl.ds(slab, SUBLANES), :]
+            out_ref[pl.ds(slab, SUBLANES), :] = cur + outb
+
+    return kern
+
+
+class PallasSpmvScattered:
+    """PSEG Pallas SpMV executor with hub relabeling (single chip)."""
+
+    def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.25,
+                 reorder: bool = True):
+        if a.dtype == np.float64:
+            raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        m, n = a.shape
+        x_bytes = (-(-n // 128) + 1) * 128 * 4
+        if x_bytes > _VMEM_X_LIMIT:
+            raise ValueError(
+                f"x ({x_bytes >> 20} MB) exceeds VMEM staging limit; "
+                "use the multi-chip partitioner"
+            )
+
+        if reorder:
+            pop = np.bincount(a.indices, minlength=n)
+            colperm = np.argsort(-pop, kind="stable").astype(np.int64)
+            deg = a.row_lengths
+            rowperm = np.argsort(-deg, kind="stable").astype(np.int64)
+            s = a.to_scipy().tocsr()[rowperm][:, colperm].tocsr()
+            s.sort_indices()
+            ap = CSR.from_scipy(s).astype(a.dtype)
+        else:
+            colperm = np.arange(n, dtype=np.int64)
+            rowperm = np.arange(m, dtype=np.int64)
+            ap = a
+
+        w = pack_pseg(ap, th=th)
+        if w.y_rows * LANES * 4 > _VMEM_Y_LIMIT:
+            raise ValueError("y exceeds VMEM accumulator limit")
+        if w.fill < min_fill:
+            raise ValueError(
+                f"PSEG fill {w.fill:.2f} below {min_fill} even after hub "
+                "relabeling; use the XLA bucket path"
+            )
+        self.layout = w
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        self.bytes_per_iter = (w.bytes_per_iter + n * 4 + m * 4
+                               + w.n_stragglers * 12)
+        self._colperm = jnp.asarray(colperm.astype(np.int32))
+        inv_row = np.empty(m, dtype=np.int64)
+        inv_row[rowperm] = np.arange(m)
+        self._rowperm_inv = jnp.asarray(inv_row.astype(np.int32))
+        self.colperm = colperm
+        self.rowperm = rowperm
+        self._val = jnp.asarray(w.val)
+        self._lcol = jnp.asarray(w.lcol)
+        self._tsb = jnp.asarray(w.tsb)
+        self._wr = jnp.asarray(w.round_wrow)
+        self._ob = jnp.asarray(w.round_oblk)
+        self._srow = jnp.asarray(w.s_rows)
+        self._scol = jnp.asarray(w.s_cols)
+        self._sval = jnp.asarray(w.s_vals)
+        self._call = self._build()
+
+    def _build(self):
+        w = self.layout
+        from ...utils.backend import on_cpu
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(w.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d whole
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
+        )
+        return pl.pallas_call(
+            _kernel(w.th),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((w.y_rows, LANES), jnp.float32),
+            interpret=on_cpu(),
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * w.num_tiles * w.th * LANES * 9),
+                bytes_accessed=int(self.bytes_per_iter),
+                transcendentals=0,
+            ),
+        )
+
+    def device_arrays(self):
+        return {"wr": self._wr, "ob": self._ob, "val": self._val,
+                "lcol": self._lcol, "tsb": self._tsb,
+                "srow": self._srow, "scol": self._scol, "sval": self._sval,
+                "colperm": self._colperm, "rowinv": self._rowperm_inv}
+
+    def apply_permuted(self, arrs, x_perm):
+        """y_perm = A_perm @ x_perm — the fast path for iterative use:
+        stay in hub-relabeled space, no permutation gathers."""
+        m, n = self.shape
+        w = self.layout
+        pad = w.x2d_rows * 128 - n
+        x2d = jnp.pad(x_perm.astype(jnp.float32), (0, pad)).reshape(-1, 128)
+        y2d = self._call(arrs["wr"], arrs["ob"], x2d, arrs["val"],
+                         arrs["lcol"], arrs["tsb"])
+        # y2d[blk*8+ts, tl] = y_perm[blk*1024 + ts*128 + tl] -> natural order
+        y = y2d.reshape(-1)[:m]
+        if self.layout.n_stragglers:
+            # sparse tail diverted at pack time (<0.5% of nnz on power-law):
+            # XLA scatter-add is slow per element but the count is tiny
+            y = y.at[arrs["srow"]].add(arrs["sval"]
+                                       * x_perm[arrs["scol"]])
+        return y.astype(self.dtype)
+
+    def apply_pure(self, arrs, x):
+        """Drop-in y = A @ x: adds the two permutation gathers (XLA gather —
+        slow on TPU; prefer apply_permuted for repeated products)."""
+        x_perm = x[arrs["colperm"]]
+        y_perm = self.apply_permuted(arrs, x_perm)
+        return y_perm[arrs["rowinv"]]
+
+    def apply_traced(self, x):
+        return self.apply_pure(self.device_arrays(), x)
+
+    def __call__(self, x, alpha, beta, y, with_y):
+        out = self.apply_traced(x)
+        out = alpha.astype(out.dtype) * out
+        if with_y:
+            out = out + beta.astype(out.dtype) * y
+        return out

@@ -64,7 +64,11 @@ class TrsvLayout:
     round_oblk: np.ndarray    # (T*th/8,) block index
     round_final: np.ndarray   # (T*th/8,) 1 = last round of its block
     round_bfirst: np.ndarray  # (T*th/8,) 1 = first round of its block
+    round_dense: np.ndarray   # (T*th/8,) 1 = final round of a dense-tail blk
+    round_dblk: np.ndarray    # (T*th/8,) dense block index (0 otherwise)
     inv_diag: np.ndarray      # (num_blocks*8, 16)
+    minvT: np.ndarray         # (max(n_dense,1)*128, 128) block inverses^T
+    n_dense: int              # dense-tail 128-row blocks
     x2d_rows: int
 
 
@@ -76,7 +80,7 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
 
     if (cache and plan_cache.cache_enabled()
             and l.nnz >= plan_cache.MIN_CACHE_NNZ):
-        params = {"lower": lower, "unit": unit_diagonal, "th": th, "v": 1}
+        params = {"lower": lower, "unit": unit_diagonal, "th": th, "v": 2}
 
         def build():
             lay = _build_layout_impl(l, lower=lower,
@@ -85,10 +89,13 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
                 "perm": lay.perm, "slot": lay.slot_of_row, "val": lay.val,
                 "lcol": lay.lcol, "wrow": lay.round_wrow,
                 "oblk": lay.round_oblk, "final": lay.round_final,
-                "bfirst": lay.round_bfirst, "invd": lay.inv_diag,
+                "bfirst": lay.round_bfirst, "dense": lay.round_dense,
+                "dblk": lay.round_dblk, "invd": lay.inv_diag,
+                "minvT": lay.minvT,
                 "meta": np.array([lay.n, lay.nnz, lay.nlevels,
                                   lay.num_blocks, lay.num_tiles, lay.th,
-                                  lay.x2d_rows], dtype=np.int64),
+                                  lay.x2d_rows, lay.n_dense],
+                                 dtype=np.int64),
             }
 
         d = plan_cache.cached_arrays(l, "trsv", params, build)
@@ -99,7 +106,9 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
             perm=d["perm"], slot_of_row=d["slot"], val=d["val"],
             lcol=d["lcol"], round_wrow=d["wrow"], round_oblk=d["oblk"],
             round_final=d["final"], round_bfirst=d["bfirst"],
-            inv_diag=d["invd"], x2d_rows=int(mt[6]),
+            round_dense=d["dense"], round_dblk=d["dblk"],
+            inv_diag=d["invd"], minvT=d["minvT"], n_dense=int(mt[7]),
+            x2d_rows=int(mt[6]),
         )
     return _build_layout_impl(l, lower=lower, unit_diagonal=unit_diagonal,
                               th=th)
@@ -120,25 +129,52 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
 
-    # pad each level to a whole number of 128-row blocks
     level_sizes = np.bincount(levels, minlength=nlevels)
-    padded = ((level_sizes + 127) // 128) * 128
-    n_pad = int(padded.sum())
+
+    # ---- dense-tail hybrid cutoff (SURVEY.md §7 hard part 2) ----
+    # Deep-narrow level tails (Cholesky factors of meshes) would pad every
+    # tiny level to a 128-row block. Instead, the trailing narrow levels
+    # pack CONSECUTIVELY into blocks solved by a precomputed 128x128 block
+    # inverse on the MXU; rounds then only carry cross-block deps.
+    TAIL_LEVEL_WIDTH = 64
+    MAX_TAIL_ROWS = 4096
+    cut = nlevels
+    tail_rows = 0
+    for lv in range(nlevels - 1, -1, -1):
+        sz = int(level_sizes[lv])
+        if sz >= TAIL_LEVEL_WIDTH or tail_rows + sz > MAX_TAIL_ROWS:
+            break
+        tail_rows += sz
+        cut = lv
+    if tail_rows < 256:       # not worth the Minv stream
+        cut = nlevels
+        tail_rows = 0
+
+    head_sizes = level_sizes[:cut]
+    padded_head = ((head_sizes + 127) // 128) * 128
+    head_pad = int(padded_head.sum())
+    tail_pad = ((tail_rows + 127) // 128) * 128
+    n_pad = head_pad + tail_pad
     num_blocks = n_pad // 128
-    # permuted-padded position of each permuted row
-    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    head_blocks = head_pad // 128
+    n_dense = tail_pad // 128
+    head_nrows = int(head_sizes.sum())
+
+    # permuted-padded position of each permuted row: head rows padded per
+    # level; tail rows consecutive after head_pad
+    starts = np.concatenate([[0], np.cumsum(padded_head)]).astype(np.int64)
     lvl_of_sorted = levels[order]
-    # position within level
-    pos_in_level = np.zeros(n, dtype=np.int64)
-    _, inv_counts = np.unique(lvl_of_sorted, return_index=True)
-    # compute positions via groupby on sorted levels
     change = np.ones(n, dtype=bool)
     change[1:] = lvl_of_sorted[1:] != lvl_of_sorted[:-1]
     grp_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
     pos_in_level = np.arange(n) - grp_start
     lvl_index = np.cumsum(change) - 1  # dense level index in sorted order
-    padded_pos = starts[lvl_index] + pos_in_level  # (n,) padded slot of
-    #                                               sorted position i
+    is_tail = lvl_index >= cut
+    padded_pos = np.where(
+        is_tail,
+        head_pad + (np.arange(n) - head_nrows),
+        starts[np.minimum(lvl_index, max(cut - 1, 0))] + pos_in_level,
+    )
 
     # slot (padded id) of each original row
     slot_of_row = np.empty(n, dtype=np.int64)
@@ -152,12 +188,17 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
     data = l.data
 
     # Wavefront safety: every off-diagonal dependency must sit in a strictly
-    # earlier 128-row block than its row (a block's rows solve in one round
-    # group, and padding aligns level boundaries to block boundaries).
+    # earlier 128-row block than its row, EXCEPT inside dense-tail blocks,
+    # where intra-block lower deps are handled by the block inverse.
     coo_rows_chk = l.row_ids().astype(np.int64)
     off_chk = (cols < coo_rows_chk) if lower else (cols > coo_rows_chk)
-    if np.any(slot_of_row[cols[off_chk]] // 128
-              >= slot_of_row[coo_rows_chk[off_chk]] // 128):
+    dep_slot = slot_of_row[cols[off_chk]]
+    own_slot = slot_of_row[coo_rows_chk[off_chk]]
+    ok = (dep_slot // 128 < own_slot // 128) | (
+        (dep_slot // 128 == own_slot // 128)
+        & (dep_slot < own_slot) & (own_slot >= head_pad)
+    )
+    if not np.all(ok):
         raise AssertionError(
             "level schedule violates block topology (dependency in "
             "same-or-later 128-row block)"
@@ -178,20 +219,44 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
 
     # inv_diag folded into the value stream and into b (host-side):
     # (b - sum l_j x_j) / d == b/d - sum (l_j/d) x_j. Stored in slot layout
-    # for b_to_b2d; the kernel itself needs no diagonal buffer.
+    # for b_to_b2d; the kernel itself needs no diagonal buffer. Dense-tail
+    # slots keep inv=1: their diagonal lives in the block inverse.
     inv_diag = np.ones((num_blocks * SUBLANES, SUB), dtype=np.float32)
     live = row_of_slot >= 0
     slots_live = np.flatnonzero(live)
     s_idx, k_idx = np.divmod(slots_live % 128, SUB)
     blk_idx = slots_live // 128
-    inv_diag[blk_idx * SUBLANES + s_idx, k_idx] = (
-        1.0 / diag[row_of_slot[slots_live]]
-    )
+    inv_vals = 1.0 / diag[row_of_slot[slots_live]]
+    inv_vals[slots_live >= head_pad] = 1.0
+    inv_diag[blk_idx * SUBLANES + s_idx, k_idx] = inv_vals
+
+    # dense-tail block inverses (transposed for the in-kernel row-vec @ MinvT)
+    minvT = np.zeros((max(n_dense, 1) * 128, 128), dtype=np.float32)
+    if n_dense:
+        import scipy.linalg
+
+        eye = np.eye(128, dtype=np.float64)
+        for tb in range(n_dense):
+            s0 = head_pad + tb * 128
+            t_blk = np.eye(128, dtype=np.float64)
+            for i in range(128):
+                r = row_of_slot[s0 + i]
+                if r < 0:
+                    continue
+                t_blk[i, i] = diag[r]
+                for p in range(indptr[r], indptr[r + 1]):
+                    c = int(cols[p])
+                    if (c < r) if lower else (c > r):
+                        j = int(slot_of_row[c]) - s0
+                        if 0 <= j < 128:
+                            t_blk[i, j] = data[p]
+            minv = scipy.linalg.solve_triangular(t_blk, eye, lower=True)
+            minvT[tb * 128:(tb + 1) * 128] = minv.T.astype(np.float32)
 
     # rounds per block — native C++ fast path, python fallback
     packed = native.pack_trsv_rounds(
         l.indptr, l.indices, l.data, row_of_slot, slot_of_row,
-        1.0 / diag, n_pad, lower,
+        1.0 / diag, n_pad, lower, dense_from_slot=head_pad,
     )
     if packed is not None:
         R, valN, lcolN, wrowN, oblkN, finalN, bfirstN = packed
@@ -209,6 +274,9 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
         oblk[:R] = oblkN
         final[:R] = finalN
         bfirst[:R] = bfirstN
+        dense = ((oblk >= head_blocks) & (oblk < num_blocks)
+                 & (final == 1)).astype(np.int64)
+        dblk = np.where(dense == 1, oblk - head_blocks, 0)
         return TrsvLayout(
             n=n, nnz=l.nnz, nlevels=nlevels, num_blocks=num_blocks,
             num_tiles=T, th=th, perm=order.astype(INDEX_DTYPE),
@@ -218,13 +286,16 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
             round_oblk=oblk.astype(INDEX_DTYPE),
             round_final=final.astype(INDEX_DTYPE),
             round_bfirst=bfirst.astype(INDEX_DTYPE),
-            inv_diag=inv_diag,
+            round_dense=dense.astype(INDEX_DTYPE),
+            round_dblk=dblk.astype(INDEX_DTYPE),
+            inv_diag=inv_diag, minvT=minvT, n_dense=n_dense,
             x2d_rows=num_blocks + 1,
         )
 
     rounds = []  # (wrow, blk, final, bfirst, vt, ct)
     off = (cols < l.row_ids()) if lower else (cols > l.row_ids())
     for blk in range(num_blocks):
+        dense_blk = blk >= head_blocks
         row_chunks = []
         for loff in range(128):
             r = row_of_slot[blk * 128 + loff]
@@ -232,10 +303,14 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
                 continue
             p0, p1 = indptr[r], indptr[r + 1]
             sel = off[p0:p1]
+            if dense_blk:
+                # intra-block deps live in the block inverse; no diag fold
+                sel = sel & (slot_of_row[cols[p0:p1]] // 128 != blk)
             if not sel.any():
                 continue
             c_orig = cols[p0:p1][sel]
-            v = data[p0:p1][sel] / diag[r]
+            v = (data[p0:p1][sel] if dense_blk
+                 else data[p0:p1][sel] / diag[r])
             c_slot = slot_of_row[c_orig]   # renumbered dependency columns
             o = np.argsort(c_slot, kind="stable")
             c_slot, v = c_slot[o], v[o]
@@ -302,6 +377,9 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
         final[i] = f
         bfirst[i] = bf
 
+    dense = ((oblk >= head_blocks) & (oblk < num_blocks)
+             & (final == 1)).astype(np.int64)
+    dblk = np.where(dense == 1, oblk - head_blocks, 0)
     return TrsvLayout(
         n=n, nnz=l.nnz, nlevels=nlevels, num_blocks=num_blocks,
         num_tiles=T, th=th, perm=order.astype(INDEX_DTYPE),
@@ -311,16 +389,19 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
         round_oblk=oblk.astype(INDEX_DTYPE),
         round_final=final.astype(INDEX_DTYPE),
         round_bfirst=bfirst.astype(INDEX_DTYPE),
-        inv_diag=inv_diag,
+        round_dense=dense.astype(INDEX_DTYPE),
+        round_dblk=dblk.astype(INDEX_DTYPE),
+        inv_diag=inv_diag, minvT=minvT, n_dense=n_dense,
         x2d_rows=num_blocks + 1,
     )
 
 
-def _kernel(th):
+def _kernel(th, n_dense):
     ns = th // SUBLANES
 
-    def kern(wrow_ref, oblk_ref, final_ref, bfirst_ref, b_ref,
-             val_ref, col_ref, x2d_ref, acc_ref):
+    def kern(wrow_ref, oblk_ref, final_ref, bfirst_ref,
+             dense_ref, dblk_ref, b_ref,
+             val_ref, col_ref, minv_ref, x2d_ref, acc_ref):
         # acc is an OUTPUT (not scratch): scratch does not persist across
         # grid steps in interpret mode; outputs do on both paths.
         t = pl.program_id(0)
@@ -357,15 +438,41 @@ def _kernel(th):
             acc_new = jnp.where(bfirst == 1, part, acc_cur + part)
             acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
 
-            @pl.when(fin == 1)
-            def _():
-                bv = b_ref[pl.ds(slab, SUBLANES), :]      # pre-scaled b/diag
-                solved = bv - acc_new                     # (8, 16)
-                # write back as one x2d lane-row: lane l = s*16 + k
-                for s in range(SUBLANES):
-                    x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
-                        solved[s:s + 1, :]
-                    )
+            if n_dense:
+                dn = dense_ref[t * ns + i]
+                db = dblk_ref[t * ns + i]
+
+                @pl.when((fin == 1) & (dn == 0))
+                def _():
+                    bv = b_ref[pl.ds(slab, SUBLANES), :]  # pre-scaled b/diag
+                    solved = bv - acc_new                 # (8, 16)
+                    # write back as one x2d lane-row: lane l = s*16 + k
+                    for s in range(SUBLANES):
+                        x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                            solved[s:s + 1, :]
+                        )
+
+                @pl.when((fin == 1) & (dn == 1))
+                def _():
+                    # dense-tail block: x_blk = Minv @ (b - acc), one MXU
+                    # (1,128)@(128,128) matvec; b here is raw (inv_diag=1)
+                    bv = b_ref[pl.ds(slab, SUBLANES), :]
+                    rhs = (bv - acc_new).reshape(1, LANES)  # slot = s*16+k
+                    mv = minv_ref[pl.ds(db * LANES, LANES), :]
+                    sv = jnp.dot(rhs, mv,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                    x2d_ref[pl.ds(b, 1), :] = sv
+            else:
+                @pl.when(fin == 1)
+                def _():
+                    bv = b_ref[pl.ds(slab, SUBLANES), :]  # pre-scaled b/diag
+                    solved = bv - acc_new                 # (8, 16)
+                    # write back as one x2d lane-row: lane l = s*16 + k
+                    for s in range(SUBLANES):
+                        x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                            solved[s:s + 1, :]
+                        )
 
     return kern
 
@@ -379,7 +486,7 @@ class PallasSptrsv:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th)
         vmem_est = (lay.x2d_rows * 128 + 2 * (lay.num_blocks + 1) * 128
-                    + 2 * lay.th * 128 * 2) * 4
+                    + 2 * lay.th * 128 * 2 + lay.minvT.size) * 4
         if vmem_est > 20 * (1 << 20):
             raise ValueError(
                 f"level structure too deep: {lay.nlevels} levels pad "
@@ -390,13 +497,18 @@ class PallasSptrsv:
         self.shape = l.shape
         self.dtype = l.dtype
         self.nlevels = lay.nlevels
-        self.bytes_per_iter = lay.val.size * 8 + lay.n * 8
+        self.n_dense_blocks = lay.n_dense
+        self.bytes_per_iter = (lay.val.size * 8 + lay.n * 8
+                               + lay.n_dense * 128 * 128 * 4)
         self._val = jnp.asarray(lay.val)
         self._lcol = jnp.asarray(lay.lcol)
         self._wr = jnp.asarray(lay.round_wrow)
         self._ob = jnp.asarray(lay.round_oblk)
         self._fin = jnp.asarray(lay.round_final)
         self._bfirst = jnp.asarray(lay.round_bfirst)
+        self._dense = jnp.asarray(lay.round_dense)
+        self._dblk = jnp.asarray(lay.round_dblk)
+        self._minvT = jnp.asarray(lay.minvT)
         self._invd = jnp.asarray(lay.inv_diag)
         self._perm = jnp.asarray(lay.perm)
         self._unperm = jnp.asarray(lay.slot_of_row)
@@ -407,13 +519,15 @@ class PallasSptrsv:
         lay = self.layout
         from ...utils.backend import on_cpu
         interpret = on_cpu()
+        idx = lambda t, wr, ob, fin, bf, dn, db: (t, 0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=6,
             grid=(lay.num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # b2d (pre-scaled)
-                pl.BlockSpec((lay.th, LANES), lambda t, wr, ob, fin, bf: (t, 0)),
-                pl.BlockSpec((lay.th, LANES), lambda t, wr, ob, fin, bf: (t, 0)),
+                pl.BlockSpec((lay.th, LANES), idx),
+                pl.BlockSpec((lay.th, LANES), idx),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # minvT whole
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d
@@ -421,7 +535,7 @@ class PallasSptrsv:
             ),
         )
         return pl.pallas_call(
-            _kernel(lay.th),
+            _kernel(lay.th, lay.n_dense),
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((lay.x2d_rows, LANES), jnp.float32),
@@ -433,7 +547,8 @@ class PallasSptrsv:
 
     def device_arrays(self):
         return {"wr": self._wr, "ob": self._ob, "fin": self._fin,
-                "bfirst": self._bfirst,
+                "bfirst": self._bfirst, "dense": self._dense,
+                "dblk": self._dblk, "minvT": self._minvT,
                 "val": self._val, "lcol": self._lcol, "invd": self._invd,
                 "perm": self._perm, "unperm": self._unperm}
 
@@ -441,8 +556,8 @@ class PallasSptrsv:
         """Core solve on the renumbered system: b2d (num_blocks*8, 16) ->
         x2d (x2d_rows, 128). No permutation gathers — the benchmark path."""
         x2d, _acc = self._call(arrs["wr"], arrs["ob"], arrs["fin"],
-                               arrs["bfirst"], b2d,
-                               arrs["val"], arrs["lcol"])
+                               arrs["bfirst"], arrs["dense"], arrs["dblk"],
+                               b2d, arrs["val"], arrs["lcol"], arrs["minvT"])
         return x2d
 
     def b_to_b2d(self, b: np.ndarray) -> np.ndarray:

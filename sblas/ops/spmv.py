@@ -83,9 +83,8 @@ class SpmvPlan:
         if auto:
             method = self._pick(a)
         if method == "pallas" and auto:
-            # PallasSpmv rejects layouts it can't serve well (low w-SELL
-            # fill, x/y too big for VMEM). Under auto-selection that must
-            # fall back to the XLA heuristic, not crash (ADVICE r1, medium).
+            # Fallback chain under auto (ADVICE r1): w-SELL Pallas ->
+            # PSEG Pallas (scattered/power-law, hub-relabeled) -> XLA.
             try:
                 from .kernels.spmv_pallas import PallasSpmv
 
@@ -94,6 +93,19 @@ class SpmvPlan:
                 self.bytes_per_iter = self._pallas.bytes_per_iter
                 return
             except ValueError:
+                method = "pseg"
+        if method == "pseg":
+            from .kernels.spmv_pseg import PallasSpmvScattered
+
+            try:
+                self._pallas = PallasSpmvScattered(a)
+                self.method = "pseg"
+                self.bytes_per_iter = self._pallas.bytes_per_iter
+                self.fill = self._pallas.layout.fill
+                return
+            except ValueError:
+                if not auto:
+                    raise
                 method = self._xla_heuristic(a)
         self.method = method
         m, n = a.shape

@@ -1,0 +1,237 @@
+"""Packed-segment (PSEG) layout: the scattered/power-law SpMV fast path
+(SURVEY.md C5 "padded-segment" and §7 hard-part 4; VERDICT r1 item 6).
+
+Why w-SELL fails on graphs: it charges every row at least one lps-slot
+chunk per touched panel, so a deg-1 row costs 8 slots — power-law matrices
+(many deg-1..4 rows, a few huge hubs) pack at fill ~0.01.
+
+PSEG removes the per-row slot floor by encoding the TARGET position in the
+data stream instead of the layout geometry:
+
+- rows are grouped in blocks of 1024 = 8 target-sublanes x 128 lanes;
+  row r of a block lives at y2d[block*8 + ts, tl] with tl = (r%1024) % 128,
+  ts = (r%1024) // 128;
+- a round is an (8 x 128) nnz tile with a 2-panel x window (like w-SELL):
+  the nnz at (s, l) MUST target lane l of the round's block (its row's tl),
+  may sit in any source sublane s (8 slots per lane per round), and carries
+  its target sublane ts in a third int16 plane (``tsb``);
+- the kernel gathers x, multiplies, then forms the (8,128) output block by
+  8 masked sublane-reductions (sum_s p[s,l] * [tsb[s,l]==ts]) — a pure
+  VPU scatter that costs ~25 ops/slot, far below the bandwidth bound.
+
+Fill = nnz per (block, lane, window) / 8-slot granularity: a lane covers 8
+rows, so low-degree rows share slots — the floor drops from lps per row to
+1 per nnz. Column locality is still required (the 2-panel window); the
+caller provides it for power-law inputs via column-popularity relabeling
+(hot hub columns -> panel 0), see ops/kernels/spmv_pseg.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .formats import CSR, INDEX_DTYPE
+
+SUBLANES = 8
+LANES = 128
+BLOCK_ROWS = SUBLANES * LANES  # 1024
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PSeg:
+    m: int
+    n: int
+    nnz: int
+    th: int
+    num_tiles: int
+    num_rounds: int
+    val: np.ndarray        # (T*th, 128) f32
+    lcol: np.ndarray       # (T*th, 128) int16 in [0, 256)
+    tsb: np.ndarray        # (T*th, 128) int16 in [0, 8); pads have val=0
+    round_wrow: np.ndarray   # (T*th/8,) int32
+    round_oblk: np.ndarray   # (T*th/8,) int32 (block index; pad rounds -> 0)
+    x2d_rows: int
+    y_rows: int            # num_blocks * 8
+    # straggler nnz (sparse tail rounds diverted to an XLA COO side-path):
+    s_rows: np.ndarray     # (S,) int32
+    s_cols: np.ndarray     # (S,) int32
+    s_vals: np.ndarray     # (S,) f32
+
+    @property
+    def n_stragglers(self) -> int:
+        return len(self.s_vals)
+
+    @property
+    def fill(self) -> float:
+        return (self.nnz - self.n_stragglers) / max(self.val.size, 1)
+
+    @property
+    def bytes_per_iter(self) -> int:
+        return (self.val.size * (self.val.itemsize + self.lcol.itemsize
+                                 + self.tsb.itemsize)
+                + self.round_wrow.size * 8)
+
+
+def pack_pseg(a: CSR, *, th: int = 256, divert_below: int = 128,
+              cache: bool = True) -> PSeg:
+    """Pack CSR into PSEG rounds. Host-side, numpy + per-block greedy.
+
+    Rounds that would carry fewer than ``divert_below`` nnz (of 1024 slots)
+    are not emitted; their entries go to the straggler COO lists instead —
+    on power-law inputs the sub-0.5%% of nnz outside the hub panels would
+    otherwise each cost a near-empty (8x128) round and dominate the stream.
+
+    Large packings persist across runs via plan_cache (the greedy round
+    builder is python-loop bound, ~30s per Mnnz).
+    """
+    from . import plan_cache
+
+    if (cache and plan_cache.cache_enabled()
+            and a.nnz >= plan_cache.MIN_CACHE_NNZ):
+        params = {"th": th, "divert": divert_below, "v": 1}
+
+        def build():
+            w = _pack_pseg_impl(a, th=th, divert_below=divert_below)
+            return {
+                "val": w.val, "lcol": w.lcol, "tsb": w.tsb,
+                "wrow": w.round_wrow, "oblk": w.round_oblk,
+                "srow": w.s_rows, "scol": w.s_cols, "sval": w.s_vals,
+                "meta": np.array([w.m, w.n, w.nnz, w.th, w.num_tiles,
+                                  w.num_rounds, w.x2d_rows, w.y_rows],
+                                 dtype=np.int64),
+            }
+
+        d = plan_cache.cached_arrays(a, "pseg", params, build)
+        mt = d["meta"]
+        return PSeg(
+            m=int(mt[0]), n=int(mt[1]), nnz=int(mt[2]), th=int(mt[3]),
+            num_tiles=int(mt[4]), num_rounds=int(mt[5]),
+            val=d["val"], lcol=d["lcol"], tsb=d["tsb"],
+            round_wrow=d["wrow"], round_oblk=d["oblk"],
+            x2d_rows=int(mt[6]), y_rows=int(mt[7]),
+            s_rows=d["srow"], s_cols=d["scol"], s_vals=d["sval"],
+        )
+    return _pack_pseg_impl(a, th=th, divert_below=divert_below)
+
+
+def _pack_pseg_impl(a: CSR, *, th: int, divert_below: int) -> PSeg:
+    m, n = a.shape
+    rows = a.row_ids().astype(np.int64)
+    cols = a.indices.astype(np.int64)
+    data = a.data.astype(np.float32)
+
+    blk = rows // BLOCK_ROWS
+    r_in = rows % BLOCK_ROWS
+    tl = r_in % LANES
+    ts = r_in // LANES
+    panel = cols // LANES
+
+    # sort by (block, lane, panel) -> per-(block,lane) queues sorted by panel
+    order = np.lexsort((panel, tl, blk))
+    blk_s, tl_s, ts_s = blk[order], tl[order], ts[order]
+    pan_s, col_s, val_s = panel[order], cols[order], data[order]
+
+    num_blocks = int(blk.max(initial=0)) + 1 if a.nnz else 1
+    rounds = []  # (wrow, oblk, vt, ct, tt)
+    strag = []   # index ranges diverted to the COO side-path
+
+    # iterate blocks
+    starts = np.searchsorted(blk_s, np.arange(num_blocks + 1))
+    for b in range(num_blocks):
+        lo, hi = int(starts[b]), int(starts[b + 1])
+        if lo == hi:
+            continue
+        # per-lane queues within [lo, hi): already sorted by (lane, panel)
+        lane_lo = lo + np.searchsorted(tl_s[lo:hi], np.arange(LANES))
+        lane_hi = lo + np.searchsorted(tl_s[lo:hi], np.arange(LANES),
+                                       side="right")
+        heads = lane_lo.copy()
+        while np.any(heads < lane_hi):
+            active = heads < lane_hi
+            w = int(pan_s[heads[active]].min())
+            takes = []
+            total = 0
+            for l in np.flatnonzero(active):
+                h = heads[l]
+                stop = min(lane_hi[l], h + SUBLANES)
+                # entries with panel in {w, w+1} (queue sorted by panel)
+                cnt = int(np.searchsorted(pan_s[h:stop], w + 2))
+                if cnt == 0:
+                    continue
+                takes.append((l, h, cnt))
+                heads[l] = h + cnt
+                total += cnt
+            if total < divert_below:
+                strag.extend((h, h + cnt) for _, h, cnt in takes)
+                continue
+            vt = np.zeros((SUBLANES, LANES), dtype=np.float32)
+            ct = np.zeros((SUBLANES, LANES), dtype=np.int64)
+            tt = np.zeros((SUBLANES, LANES), dtype=np.int64)
+            for l, h, cnt in takes:
+                sl = slice(h, h + cnt)
+                vt[:cnt, l] = val_s[sl]
+                ct[:cnt, l] = col_s[sl] - w * LANES
+                tt[:cnt, l] = ts_s[sl]
+            rounds.append((w, b, vt, ct, tt))
+
+    if strag:
+        idx = np.concatenate([np.arange(h0, h1) for h0, h1 in strag])
+        s_rows = (blk_s[idx] * BLOCK_ROWS + ts_s[idx] * LANES
+                  + tl_s[idx]).astype(INDEX_DTYPE)
+        s_cols = col_s[idx].astype(INDEX_DTYPE)
+        s_vals = val_s[idx].astype(np.float32)
+    else:
+        s_rows = np.zeros(0, dtype=INDEX_DTYPE)
+        s_cols = np.zeros(0, dtype=INDEX_DTYPE)
+        s_vals = np.zeros(0, dtype=np.float32)
+
+    if not rounds:
+        rounds.append((0, 0, np.zeros((SUBLANES, LANES), np.float32),
+                       np.zeros((SUBLANES, LANES), np.int64),
+                       np.zeros((SUBLANES, LANES), np.int64)))
+
+    R = len(rounds)
+    ns = max(th // SUBLANES, 1)
+    T = -(-R // ns)
+    total = T * ns
+    val = np.zeros((total * SUBLANES, LANES), dtype=np.float32)
+    lcol = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
+    tsb = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
+    wrow = np.zeros(total, dtype=np.int64)
+    oblk = np.zeros(total, dtype=np.int64)
+    for i, (w, b, vt, ct, tt) in enumerate(rounds):
+        val[i * SUBLANES:(i + 1) * SUBLANES] = vt
+        lcol[i * SUBLANES:(i + 1) * SUBLANES] = ct
+        tsb[i * SUBLANES:(i + 1) * SUBLANES] = tt
+        wrow[i] = w
+        oblk[i] = b
+
+    return PSeg(
+        m=m, n=n, nnz=a.nnz, th=ns * SUBLANES, num_tiles=T, num_rounds=R,
+        val=val, lcol=lcol, tsb=tsb,
+        round_wrow=wrow.astype(INDEX_DTYPE),
+        round_oblk=oblk.astype(INDEX_DTYPE),
+        x2d_rows=-(-n // LANES) + 1,
+        y_rows=num_blocks * SUBLANES,
+        s_rows=s_rows, s_cols=s_cols, s_vals=s_vals,
+    )
+
+
+def pseg_to_dense(p: PSeg) -> np.ndarray:
+    """Reconstruct the dense matrix (test helper)."""
+    out = np.zeros((p.m, p.n), dtype=np.float64)
+    for i in range(p.num_rounds):
+        wbase = int(p.round_wrow[i]) * LANES
+        b = int(p.round_oblk[i])
+        for s in range(SUBLANES):
+            arow = i * SUBLANES + s
+            for l in range(LANES):
+                v = p.val[arow, l]
+                if v != 0.0:
+                    row = b * BLOCK_ROWS + int(p.tsb[arow, l]) * LANES + l
+                    out[row, wbase + int(p.lcol[arow, l])] += v
+    for r, c, v in zip(p.s_rows, p.s_cols, p.s_vals):
+        out[int(r), int(c)] += v
+    return out

@@ -3,7 +3,7 @@ import pytest
 
 from sblas import datasets
 from sblas.golden import spmv_golden, rel_err, default_tol
-from sblas.ops.spmv import SpmvPlan
+from sblas.ops.spmv import SpmvPlan, spmv
 
 
 MATRICES = {
@@ -98,3 +98,44 @@ def test_spmv_bsr_f64():
     x = np.random.default_rng(23).standard_normal(a.shape[1])
     y = np.asarray(SpmvPlan(a, "bsr")(x))
     assert rel_err(y, spmv_golden(a, x)) < 1e-11
+
+
+def test_spmv_pseg_scattered_path():
+    # PSEG (hub-relabeled packed-segment) path: the scattered/power-law fast
+    # path (VERDICT r1 item 6). Must validate via the drop-in API and pack
+    # at materially higher fill than w-SELL on graph inputs.
+    import jax
+
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    plan = SpmvPlan(g, "pseg")
+    x = np.random.default_rng(50).standard_normal(g.shape[1]).astype(np.float32)
+    y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+    assert rel_err(y, spmv_golden(g, x)) < 1e-5
+    assert plan.fill > 0.5
+    # alpha/beta epilogue through the public entry point
+    y0 = np.random.default_rng(51).standard_normal(g.shape[0]).astype(np.float32)
+    y2 = np.asarray(spmv(g, x, alpha=2.0, beta=0.5, y=y0, method="pseg"))
+    assert rel_err(y2, 2.0 * spmv_golden(g, x) + 0.5 * y0) < 1e-5
+
+
+def test_spmv_auto_chain_to_pseg():
+    # auto on a simulated accelerator must fall w-SELL -> PSEG on power-law
+    import sblas.utils.backend as be
+
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    saved = be._BACKEND
+    be._BACKEND = "tpu"
+    try:
+        plan = SpmvPlan(g, "auto")
+        assert plan.method == "pseg", plan.method
+    finally:
+        be._BACKEND = saved
+
+
+def test_pseg_layout_roundtrip():
+    from sblas.retile_pseg import pack_pseg, pseg_to_dense
+
+    a = datasets.random_csr(1500, 1500, 5, seed=7, dtype=np.float32)
+    w = pack_pseg(a, cache=False)
+    np.testing.assert_allclose(pseg_to_dense(w), a.to_scipy().toarray(),
+                               rtol=0, atol=0)
