@@ -72,9 +72,12 @@ def main():
             62451, 30, bandwidth=4000, seed=1, dtype=np.float32)),
     ]
     if not args.quick:
-        spd = datasets.poisson2d(80, dtype=np.float64)
+        # nested-dissection ordered: the realistic fill-reducing regime
+        # (natural-order banded factors are fully serial, see datasets)
+        spd = datasets.poisson2d_nd(120, dtype=np.float64)
         tri_cases.append(
-            ("chol-poisson2d", datasets.cholesky_factor(spd, dtype=np.float32)))
+            ("chol-nd-poisson2d-120",
+             datasets.cholesky_factor(spd, dtype=np.float32)))
     for name, l in tri_cases:
         try:
             rec = bench_lib.bench_sptrsv(l, iters=10,
@@ -83,6 +86,18 @@ def main():
             emit(rec)
         except Exception as e:
             print(f"# sptrsv {name} FAIL: {str(e)[:200]}", flush=True)
+
+    # Config #5 regime: scattered power-law graphs (PSEG fast path)
+    for name, scale in (("uk-2002", 0.01), ("twitter7", 0.004)):
+        if args.quick:
+            break
+        try:
+            g = datasets.emulate(name, scale=scale, dtype=np.float32)
+            rec = bench_lib.bench_spmv(g, method="auto", iters=15)
+            rec.extra["matrix"] = f"{name}@{scale}"
+            emit(rec)
+        except Exception as e:
+            print(f"# graph spmv {name} FAIL: {str(e)[:200]}", flush=True)
 
     print(f"# wrote {len(records)} records to {out}", flush=True)
 

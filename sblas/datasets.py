@@ -92,6 +92,65 @@ def poisson2d(nx: int, ny: Optional[int] = None, dtype=np.float32) -> CSR:
     )
 
 
+def nd_permutation_grid(nx: int, ny: Optional[int] = None) -> np.ndarray:
+    """Nested-dissection elimination order for an nx-by-ny grid graph.
+
+    Real SpTRSV benchmarks factor with fill-reducing orderings (AMD/ND) that
+    create wide level sets; natural-order banded factors are fully serial
+    and unrepresentative. Returns ``perm`` (elimination position -> flat
+    grid index, row-major iy*nx+ix)."""
+    ny = ny or nx
+    out = []
+
+    def rec(x0, x1, y0, y1):
+        w, h = x1 - x0, y1 - y0
+        if w <= 0 or h <= 0:
+            return
+        if w * h <= 4:
+            for yy in range(y0, y1):
+                for xx in range(x0, x1):
+                    out.append(yy * nx + xx)
+            return
+        if w >= h:
+            mid = x0 + w // 2
+            rec(x0, mid, y0, y1)
+            rec(mid + 1, x1, y0, y1)
+            # separator column, itself dissected (1D) for a balanced tail
+            rec(mid, mid + 1, y0, y1) if h <= 4 else _sep_line(
+                [yy * nx + mid for yy in range(y0, y1)])
+        else:
+            mid = y0 + h // 2
+            rec(x0, x1, y0, mid)
+            rec(x0, x1, mid + 1, y1)
+            _sep_line([mid * nx + xx for xx in range(x0, x1)]) if w > 4 \
+                else rec(x0, x1, mid, mid + 1)
+
+    def _sep_line(ids):
+        # recursive bisection of a path graph
+        if len(ids) <= 2:
+            out.extend(ids)
+            return
+        m = len(ids) // 2
+        _sep_line(ids[:m])
+        _sep_line(ids[m + 1:])
+        out.append(ids[m])
+
+    rec(0, nx, 0, ny)
+    perm = np.asarray(out, dtype=np.int64)
+    assert len(perm) == nx * ny and len(np.unique(perm)) == nx * ny
+    return perm
+
+
+def poisson2d_nd(nx: int, ny: Optional[int] = None, dtype=np.float32) -> CSR:
+    """5-point Laplacian, nested-dissection ordered (parallel-friendly
+    Cholesky level profile — BASELINE config #3's realistic regime)."""
+    a = poisson2d(nx, ny, dtype=dtype)
+    perm = nd_permutation_grid(nx, ny)
+    s = a.to_scipy().tocsr()[perm][:, perm].tocsr()
+    s.sort_indices()
+    return CSR.from_scipy(s).astype(dtype)
+
+
 def spd_diag_dominant(
     n: int, nnz_per_row: float = 8.0, *, bandwidth: Optional[int] = None,
     seed: int = 0, dtype=np.float32,

@@ -24,9 +24,12 @@ Device solve (one pallas_call, sequential TPU grid):
   at all — the reference needs a kernel launch per level (SURVEY.md §3.3);
   here a level boundary costs nothing.
 
-The deep-narrow-level tail (levels << 128 rows) pads heavily — the known
-TPU SpTRSV hard part (SURVEY.md §7 hard part 2); the dense-tail hybrid is
-future work. f64 falls back to the XLA path.
+Deep-narrow level tails (the known TPU SpTRSV hard part, SURVEY.md §7
+hard part 2) switch to the DENSE-TAIL HYBRID: trailing narrow levels pack
+consecutively into 128-row blocks solved by a precomputed block inverse on
+the MXU (rounds then carry only cross-block deps), so a fully serial factor
+costs ~n/128 MXU matvecs instead of one padded block per level. f64 falls
+back to the XLA path.
 """
 
 from __future__ import annotations
@@ -137,7 +140,7 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
     # pack CONSECUTIVELY into blocks solved by a precomputed 128x128 block
     # inverse on the MXU; rounds then only carry cross-block deps.
     TAIL_LEVEL_WIDTH = 64
-    MAX_TAIL_ROWS = 4096
+    MAX_TAIL_ROWS = 8192
     cut = nlevels
     tail_rows = 0
     for lv in range(nlevels - 1, -1, -1):

@@ -153,3 +153,18 @@ def test_sptrsv_dense_tail_unit_diagonal():
     assert p.n_dense_blocks > 0  # fully serial -> all tail
     x = np.asarray(p.apply_traced(b))
     assert rel_err(x, sptrsv_golden(l, b)) < 2e-4
+
+
+def test_sptrsv_nd_cholesky_factor():
+    # nested-dissection ordered mesh factor: the realistic BASELINE config
+    # #3 workload — wide early levels + narrow tail (hybrid head+dense).
+    from sblas.ops.kernels.sptrsv_pallas import PallasSptrsv, build_layout
+
+    a = datasets.poisson2d_nd(40, dtype=np.float64)
+    l = datasets.cholesky_factor(a, dtype=np.float32)
+    lay = build_layout(l, cache=False)
+    assert lay.num_blocks * 128 / l.shape[0] < 2.0
+    p = PallasSptrsv(l)
+    b = np.random.default_rng(2).standard_normal(l.shape[0]).astype(np.float32)
+    x = np.asarray(p.apply_traced(b))
+    assert rel_err(x, sptrsv_golden(l, b)) < 2e-4
