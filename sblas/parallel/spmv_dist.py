@@ -103,6 +103,15 @@ class DistSpmvPlan:
             except ValueError:
                 if local_method == "pallas":
                     raise
+        if self.local_method is None and not self._split and \
+                local_method in ("auto", "pseg"):
+            # scattered/power-law shards: hub-relabeled packed-segment path
+            try:
+                self._init_pseg(a, part, sh)
+                self.local_method = "pseg"
+            except ValueError:
+                if local_method == "pseg":
+                    raise
         if self.local_method is None:
             self._init_ell(local_parts, row_starts, sh, a)
             self.local_method = "ell"
@@ -128,6 +137,38 @@ class DistSpmvPlan:
                 r0, r1 = row_starts[d], row_starts[d + 1]
                 slot[r0:r1] = d * st.y_rows * st.sub + np.arange(r1 - r0)
             self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+
+    def _init_pseg(self, a, part, sh):
+        from .wsell_stack import stack_pseg
+        from ..formats import CSR as _CSR
+
+        m, n = self.shape
+        # global hub relabeling of columns; rows unaffected, so the
+        # nnz-balanced row partition is re-applied to the relabeled matrix
+        pop = np.bincount(a.indices, minlength=n)
+        colperm = np.argsort(-pop, kind="stable").astype(np.int64)
+        s = a.to_scipy().tocsr()[:, colperm].tocsr()
+        s.sort_indices()
+        ap = _CSR.from_scipy(s).astype(a.dtype)
+        row_starts = [int(r) for r in part.row_starts]
+        parts_p = [
+            _CSR.from_scipy(s[row_starts[d]:row_starts[d + 1]])
+            for d in range(self.ndev)
+        ]
+        st = stack_pseg(ap, parts_p, row_starts, self.n_pad,
+                        min_fill=self._min_fill)
+        self._pstacked = st
+        self._pseg_colperm = colperm
+        self.bytes_per_iter = st.bytes_per_iter * self.ndev
+        self._pwr = jax.device_put(st.wrow, sh(P(chips_axis)))
+        self._pob = jax.device_put(st.oblk, sh(P(chips_axis)))
+        self._pval = jax.device_put(st.val, sh(P(chips_axis)))
+        self._plcol = jax.device_put(st.lcol, sh(P(chips_axis)))
+        self._ptsb = jax.device_put(st.tsb, sh(P(chips_axis)))
+        self._psrow = jax.device_put(st.s_rows, sh(P(chips_axis)))
+        self._pscol = jax.device_put(st.s_cols, sh(P(chips_axis)))
+        self._psval = jax.device_put(st.s_vals, sh(P(chips_axis)))
+        self._unpad = jnp.asarray(st.rowperm_inv.astype(INDEX_DTYPE))
 
     def _init_ell(self, parts, row_starts, sh, a):
         m, n = self.shape
@@ -160,8 +201,69 @@ class DistSpmvPlan:
     def _build_fn(self):
         if self.local_method == "pallas":
             self._build_fn_pallas()
+        elif self.local_method == "pseg":
+            self._build_fn_pseg()
         else:
             self._build_fn_ell()
+
+    def _build_fn_pseg(self):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.kernels.spmv_pseg import _kernel
+        from ..retile_pseg import LANES
+        from ..utils.backend import on_cpu
+
+        m, n = self.shape
+        st = self._pstacked
+        n_pad = self.n_pad
+        xpad = st.x2d_rows * LANES - n_pad
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(st.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d whole
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            _kernel(st.th),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((st.y_rows, LANES), jnp.float32),
+            interpret=on_cpu(),
+        )
+
+        def body(wr, ob, val, lcol, tsb, srow, scol, sval, x_shard):
+            with jax.named_scope("collective"):
+                x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
+            x2d = jnp.pad(x_full.astype(jnp.float32),
+                          (0, xpad)).reshape(st.x2d_rows, LANES)
+            with jax.named_scope("kernel"):
+                y2d = call(wr[0], ob[0], x2d, val[0], lcol[0], tsb[0])
+            y = y2d.reshape(-1)
+            # straggler COO side-path (tiny count; see retile_pseg)
+            y = y.at[srow[0]].add(sval[0] * x_full[scol[0]])
+            return y[None]
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(chips_axis),) * 8 + (P(chips_axis),),
+            out_specs=P(chips_axis, None),
+            check_vma=False,
+        )
+        unpad = self._unpad
+        dtype = self.dtype
+
+        @jax.jit
+        def run(wr, ob, val, lcol, tsb, srow, scol, sval, x_pad):
+            y = fn(wr, ob, val, lcol, tsb, srow, scol, sval, x_pad)
+            return y.reshape(-1)[unpad].astype(dtype)
+
+        self._run_pseg = run
 
     def _build_fn_pallas(self):
         import jax.experimental.pallas as pl
@@ -274,11 +376,20 @@ class DistSpmvPlan:
         x = jnp.asarray(x, dtype=self.dtype)
         if x.shape != (n,):
             raise ValueError(f"x must have shape ({n},)")
+        if self.local_method == "pseg":
+            # hub-relabeled x (host-side permute: cheap vs an XLA gather)
+            x = jnp.asarray(
+                np.asarray(x)[self._pseg_colperm], dtype=self.dtype
+            )
         x_pad = jnp.zeros(self.n_pad, dtype=self.dtype).at[:n].set(x)
         x_pad = jax.device_put(x_pad, self._x_sharding)
         if self.local_method == "pallas":
             out = self._run_pallas(self._wr, self._ob, self._val, self._lcol,
                                    x_pad)
+        elif self.local_method == "pseg":
+            out = self._run_pseg(self._pwr, self._pob, self._pval,
+                                 self._plcol, self._ptsb, self._psrow,
+                                 self._pscol, self._psval, x_pad)
         else:
             out = self._run(self._col, self._val, x_pad)
         out = alpha * out

@@ -97,3 +97,107 @@ def stack_wsell(parts: list[CSR], n_pad: int, dtype, *, th: int = 1024,
         val=val, lcol=lcol, wrow=wrow, obase=obase, fill=fill,
         bytes_per_iter=T * th * LANES * (4 + 2) + T * ns * 8,
     )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class StackedPSeg:
+    ndev: int
+    th: int
+    num_tiles: int
+    y_rows: int           # per-chip PSEG y2d rows (max over chips)
+    x2d_rows: int
+    n_pad: int
+    val: np.ndarray       # (ndev, T*th, 128)
+    lcol: np.ndarray      # (ndev, T*th, 128) int16
+    tsb: np.ndarray       # (ndev, T*th, 128) int16
+    wrow: np.ndarray      # (ndev, T*th/8) int32
+    oblk: np.ndarray      # (ndev, T*th/8) int32
+    s_rows: np.ndarray    # (ndev, S) int32  local y-flat index (pad: 0)
+    s_cols: np.ndarray    # (ndev, S) int32  relabeled global column
+    s_vals: np.ndarray    # (ndev, S) f32    (pad: 0)
+    colperm: np.ndarray   # (n,) global column relabeling
+    rowperm_inv: np.ndarray  # (m,) original row -> stacked y-flat position
+    fill: float
+    bytes_per_iter: int
+
+
+def stack_pseg(a: CSR, parts: list[CSR], row_starts: list[int], n_pad: int,
+               *, th: int = 256, min_fill: float = 0.25) -> StackedPSeg:
+    """Stack per-chip PSEG layouts (scattered/power-law dist fast path).
+
+    Columns are hub-relabeled GLOBALLY (the caller partitions the already
+    column-relabeled matrix so shards agree on x ordering); rows are
+    degree-sorted per shard. Geometry (tiles, y_rows, straggler count) pads
+    to the per-chip max so one pallas_call runs SPMD."""
+    from ..retile_pseg import pack_pseg
+    from ..formats import CSR as _CSR
+
+    if a.dtype == np.float64:
+        raise ValueError("Mosaic has no f64; use the XLA dist path")
+    m, n = a.shape
+    ndev = len(parts)
+    lays = []
+    rowperms = []
+    for p in parts:
+        deg = p.row_lengths
+        rp = np.argsort(-deg, kind="stable").astype(np.int64)
+        sp_ = p.to_scipy().tocsr()[rp].tocsr()
+        sp_.sort_indices()
+        lays.append(pack_pseg(_CSR.from_scipy(sp_).astype(a.dtype),
+                              th=th, cache=False))
+        rowperms.append(rp)
+
+    kept = sum(l.nnz - l.n_stragglers for l in lays)
+    slots = sum(l.val.size for l in lays)
+    fill = kept / max(slots, 1)
+    if fill < min_fill:
+        raise ValueError(
+            f"stacked PSEG fill {fill:.2f} below {min_fill}; XLA dist path"
+        )
+
+    T = max(l.num_tiles for l in lays)
+    y_rows = max(l.y_rows for l in lays)
+    x2d_rows = max(max(l.x2d_rows for l in lays), -(-n_pad // LANES))
+    if x2d_rows * LANES * 4 > VMEM_X_LIMIT:
+        raise ValueError("gathered x exceeds VMEM staging limit")
+    if y_rows * LANES * 4 > VMEM_Y_LIMIT:
+        raise ValueError("local y exceeds VMEM accumulator limit")
+    S = max(max(l.n_stragglers for l in lays), 1)
+    ns = th // SUBLANES
+
+    val = np.zeros((ndev, T * th, LANES), dtype=np.float32)
+    lcol = np.zeros((ndev, T * th, LANES), dtype=np.int16)
+    tsb = np.zeros((ndev, T * th, LANES), dtype=np.int16)
+    wrow = np.zeros((ndev, T * ns), dtype=np.int32)
+    oblk = np.zeros((ndev, T * ns), dtype=np.int32)
+    s_rows = np.zeros((ndev, S), dtype=np.int32)
+    s_cols = np.zeros((ndev, S), dtype=np.int32)
+    s_vals = np.zeros((ndev, S), dtype=np.float32)
+    for d, l in enumerate(lays):
+        val[d, : l.val.shape[0]] = l.val
+        lcol[d, : l.lcol.shape[0]] = l.lcol
+        tsb[d, : l.tsb.shape[0]] = l.tsb
+        wrow[d, : l.round_wrow.shape[0]] = l.round_wrow
+        oblk[d, : l.round_oblk.shape[0]] = l.round_oblk
+        ns_ = l.n_stragglers
+        if ns_:
+            s_rows[d, :ns_] = l.s_rows
+            s_cols[d, :ns_] = l.s_cols
+            s_vals[d, :ns_] = l.s_vals
+
+    # original row -> position in the stacked (ndev, y_rows*128) output
+    rowperm_inv = np.empty(m, dtype=np.int64)
+    for d in range(ndev):
+        r0, r1 = row_starts[d], row_starts[d + 1]
+        inv = np.empty(r1 - r0, dtype=np.int64)
+        inv[rowperms[d]] = np.arange(r1 - r0)
+        rowperm_inv[r0:r1] = d * y_rows * LANES + inv
+
+    return StackedPSeg(
+        ndev=ndev, th=th, num_tiles=T, y_rows=y_rows, x2d_rows=x2d_rows,
+        n_pad=n_pad, val=val, lcol=lcol, tsb=tsb, wrow=wrow, oblk=oblk,
+        s_rows=s_rows, s_cols=s_cols, s_vals=s_vals,
+        colperm=np.zeros(0, np.int64),  # caller-owned (global relabeling)
+        rowperm_inv=rowperm_inv, fill=fill,
+        bytes_per_iter=T * th * LANES * 8 + S * 12,
+    )

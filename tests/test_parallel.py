@@ -146,3 +146,14 @@ def test_dist_sptrsv_upper(mesh8):
     b = np.random.default_rng(42).standard_normal(250)
     x = np.asarray(DistSptrsvPlan(u, mesh8, lower=False)(b))
     assert rel_err(x, sptrsv_golden(u, b, lower=False)) < 1e-10
+
+
+def test_dist_spmv_pseg_body(mesh8):
+    # scattered/power-law dist path: hub-relabeled PSEG kernel per chip
+    g = datasets.emulate("uk-2002", scale=0.005, dtype=np.float32)
+    x = np.random.default_rng(60).standard_normal(g.shape[1]).astype(np.float32)
+    p = DistSpmvPlan(g, mesh8, local_method="pseg", min_fill=0.1)
+    y = np.asarray(p(x))
+    assert rel_err(y, spmv_golden(g, x)) < 1e-5
+    # auto must chain w-SELL -> PSEG on power-law shards
+    assert DistSpmvPlan(g, mesh8).local_method == "pseg"
