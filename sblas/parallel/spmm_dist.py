@@ -32,6 +32,7 @@ class DistSpmmPlan:
         self.shape = a.shape
         self.dtype = a.dtype
         self.row_block = row_block
+        self._min_fill = min_fill
         m, n = a.shape
         self.x_chunk = _round_up(max(-(-n // ndev), 1), 8)
         self.n_pad = self.x_chunk * ndev
@@ -64,6 +65,14 @@ class DistSpmmPlan:
             except ValueError:
                 if local_method == "pallas":
                     raise
+        if self.local_method is None and local_method in ("auto", "pseg"):
+            # scattered/power-law shards: hub-relabeled PSEG (see spmv_dist)
+            try:
+                self._init_pseg(a, part, sh)
+                self.local_method = "pseg"
+            except ValueError:
+                if local_method == "pseg":
+                    raise
         self._ell_parts = part.parts  # kept for lazy ELL fallback
         self._ell_built = False
         if self.local_method is None:
@@ -72,6 +81,36 @@ class DistSpmmPlan:
 
         self._x_sharding = sh(P(chips_axis, None))
         self._runs = {}
+
+    def _init_pseg(self, a, part, sh):
+        from .wsell_stack import stack_pseg
+        from ..formats import CSR as _CSR
+
+        m, n = self.shape
+        pop = np.bincount(a.indices, minlength=n)
+        colperm = np.argsort(-pop, kind="stable").astype(np.int64)
+        s = a.to_scipy().tocsr()[:, colperm].tocsr()
+        s.sort_indices()
+        ap = _CSR.from_scipy(s).astype(a.dtype)
+        row_starts = self._row_starts
+        parts_p = [
+            _CSR.from_scipy(s[row_starts[d]:row_starts[d + 1]])
+            for d in range(self.ndev)
+        ]
+        st = stack_pseg(ap, parts_p, row_starts, self.n_pad,
+                        min_fill=self._min_fill)
+        self._psk = st
+        self._pseg_colperm = colperm
+        self.bytes_per_iter_nx = st.bytes_per_iter * self.ndev
+        self._kwr = jax.device_put(st.wrow, sh(P(chips_axis)))
+        self._kob = jax.device_put(st.oblk, sh(P(chips_axis)))
+        self._kval = jax.device_put(st.val, sh(P(chips_axis)))
+        self._klcol = jax.device_put(st.lcol, sh(P(chips_axis)))
+        self._ktsb = jax.device_put(st.tsb, sh(P(chips_axis)))
+        self._ksrow = jax.device_put(st.s_rows, sh(P(chips_axis)))
+        self._kscol = jax.device_put(st.s_cols, sh(P(chips_axis)))
+        self._ksval = jax.device_put(st.s_vals, sh(P(chips_axis)))
+        self._kunpad = jnp.asarray(st.rowperm_inv.astype(INDEX_DTYPE))
 
     def _build_ell(self, a: CSR | None = None):
         if self._ell_built:
@@ -105,11 +144,90 @@ class DistSpmmPlan:
             return self._runs[k]
         if self.local_method == "pallas" and self._pallas_fits(k):
             run = ("pallas", self._build_run_pallas(k))
+        elif self.local_method == "pseg":
+            run = ("pseg", self._build_run_pseg(k))
         else:
             if self.local_method == "pallas":
                 self._build_ell()  # VMEM-bound k: lazy XLA fallback
             run = ("ell", self._build_run_ell(k))
         self._runs[k] = run
+        return run
+
+    def _build_run_pseg(self, k: int):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.kernels.spmm_pseg import _kernel
+        from ..ops.kernels.spmv_pseg import _VMEM_X_LIMIT, _VMEM_Y_LIMIT
+        from ..retile_pseg import LANES
+        from ..utils.backend import on_cpu
+
+        m, n = self.shape
+        st = self._psk
+        n_pad = self.n_pad
+        xpad = st.x2d_rows * LANES - n_pad
+        by_y = max(_VMEM_Y_LIMIT // (st.y_rows * LANES * 4), 1)
+        by_x = max(_VMEM_X_LIMIT // (st.x2d_rows * LANES * 4), 1)
+        kc_max = int(min(by_y, by_x, 8, k))
+
+        def make_fn(kc):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(st.num_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                    pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                    pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                    pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+            call = pl.pallas_call(
+                _kernel(st.th, kc, st.y_rows),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((kc * st.y_rows, LANES),
+                                               jnp.float32),
+                interpret=on_cpu(),
+            )
+
+            def body(wr, ob, val, lcol, tsb, srow, scol, sval, x_shard):
+                with jax.named_scope("collective"):
+                    x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
+                xt = jnp.pad(x_full.astype(jnp.float32), ((0, xpad), (0, 0)))
+                xt = xt.reshape(st.x2d_rows, LANES, kc).transpose(2, 0, 1)
+                with jax.named_scope("kernel"):
+                    y = call(wr[0], ob[0], xt, val[0], lcol[0], tsb[0])
+                y = y.reshape(kc, st.y_rows * LANES).T   # (yflat, kc)
+                y = y.at[srow[0], :].add(
+                    sval[0][:, None] * x_full[scol[0], :]
+                )
+                return y[None]
+
+            return shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(chips_axis),) * 8 + (P(chips_axis, None),),
+                out_specs=P(chips_axis, None, None),
+                check_vma=False,
+            )
+
+        nfull, rem = divmod(k, kc_max)
+        fn_kc = make_fn(kc_max)
+        fn_rem = make_fn(rem) if rem else None
+        unpad = self._kunpad
+        dtype = self.dtype
+
+        @jax.jit
+        def run(wr, ob, val, lcol, tsb, srow, scol, sval, x_pad):
+            outs = []
+            for i in range(nfull):
+                outs.append(fn_kc(wr, ob, val, lcol, tsb, srow, scol, sval,
+                                  x_pad[:, i * kc_max:(i + 1) * kc_max]))
+            if fn_rem is not None:
+                outs.append(fn_rem(wr, ob, val, lcol, tsb, srow, scol, sval,
+                                   x_pad[:, nfull * kc_max:]))
+            y = jnp.concatenate(outs, axis=2)  # (ndev, yflat, k)
+            return y.reshape(-1, k)[unpad].astype(dtype)
+
         return run
 
     def _build_run_pallas(self, k: int):
@@ -208,11 +326,18 @@ class DistSpmmPlan:
         if x.ndim != 2 or x.shape[0] != n:
             raise ValueError(f"X must have shape ({n}, k)")
         k = x.shape[1]
+        if self.local_method == "pseg":
+            x = jnp.asarray(np.asarray(x)[self._pseg_colperm, :],
+                            dtype=self.dtype)
         x_pad = jnp.zeros((self.n_pad, k), dtype=self.dtype).at[:n].set(x)
         x_pad = jax.device_put(x_pad, self._x_sharding)
         kind, run = self._get_run(k)
         if kind == "pallas":
             out = run(self._wr, self._ob, self._pval, self._plcol, x_pad)
+        elif kind == "pseg":
+            out = run(self._kwr, self._kob, self._kval, self._klcol,
+                      self._ktsb, self._ksrow, self._kscol, self._ksval,
+                      x_pad)
         else:
             out = run(self._col, self._val, x_pad)
         out = alpha * out

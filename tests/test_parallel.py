@@ -157,3 +157,14 @@ def test_dist_spmv_pseg_body(mesh8):
     assert rel_err(y, spmv_golden(g, x)) < 1e-5
     # auto must chain w-SELL -> PSEG on power-law shards
     assert DistSpmvPlan(g, mesh8).local_method == "pseg"
+
+
+def test_dist_spmm_pseg_body(mesh8):
+    from sblas.parallel.spmm_dist import DistSpmmPlan
+
+    g = datasets.emulate("uk-2002", scale=0.004, dtype=np.float32)
+    p = DistSpmmPlan(g, mesh8, local_method="pseg", min_fill=0.1)
+    x = np.random.default_rng(70).standard_normal((g.shape[1], 8)).astype(np.float32)
+    y = np.asarray(p(x))
+    assert rel_err(y, spmm_golden(g, x)) < 1e-5
+    assert DistSpmmPlan(g, mesh8).local_method == "pseg"
