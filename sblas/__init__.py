@@ -8,6 +8,10 @@ BASELINE.json north_star):
     Y = sblas.spmm(A, X, alpha=1.0, beta=0.0, y=None)
     x = sblas.sptrsv(L, b, lower=True, unit_diagonal=False)
 
+All three accept CSR or CSC and a ``trans=`` flag (op(A) = A^T), matching
+the reference's CSR/CSC surface; e.g. the Cholesky backsolve is
+``sblas.sptrsv(L, b, trans=True)``.
+
 Matrices are host-side CSR; on first use they are retiled into TPU-friendly
 layouts (sliced-ELL / padded-segment) and cached. Multi-chip execution goes
 through ``sblas.parallel``.

@@ -70,8 +70,11 @@ def _bucket_spmm(bucket_arrays, perm, x, alpha, beta, y, m, blks, with_y):
 class SpmmPlan:
     """Retiled device-resident SpMM executor for one CSR matrix."""
 
-    def __init__(self, a: CSR, method: str = "auto", *,
+    def __init__(self, a, method: str = "auto", *,
                  max_width: int = 2048, intermediate_mb: int = 32):
+        from .common import as_csr
+
+        a = as_csr(a)
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
@@ -271,9 +274,15 @@ class SpmmPlan:
         return self._pallas(x, al, be, yv, with_y)
 
 
-def spmm(a: CSR, x, alpha: float = 1.0, beta: float = 0.0, y=None,
-         *, method: str = "auto", **kw):
-    """Y_out = alpha * A @ X + beta * Y. Plans are cached per matrix."""
+def spmm(a, x, alpha: float = 1.0, beta: float = 0.0, y=None,
+         *, trans: bool = False, method: str = "auto", **kw):
+    """Y_out = alpha * op(A) @ X + beta * Y, op = A^T if trans else A.
+
+    ``a`` may be CSR or CSC; plans are cached per derived matrix.
+    """
+    from .common import as_csr
+
+    a = as_csr(a, trans)
     plans = _PLAN_CACHE.setdefault(a, {})
     key = ("spmm", method, tuple(sorted(kw.items())))
     if key not in plans:

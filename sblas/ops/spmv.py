@@ -75,7 +75,10 @@ def _bucket_exec(bucket_arrays, perm, x, alpha, beta, y, m, with_y):
 class SpmvPlan:
     """Retiled device-resident SpMV executor for one CSR matrix."""
 
-    def __init__(self, a: CSR, method: str = "auto", *, max_width: int = 2048):
+    def __init__(self, a, method: str = "auto", *, max_width: int = 2048):
+        from .common import as_csr
+
+        a = as_csr(a)
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
@@ -253,7 +256,13 @@ def _get_plan(a: CSR, method: str, **kw) -> SpmvPlan:
     return plans[key]
 
 
-def spmv(a: CSR, x, alpha: float = 1.0, beta: float = 0.0, y=None,
-         *, method: str = "auto", **kw):
-    """y_out = alpha * A @ x + beta * y. Plans are cached per matrix."""
-    return _get_plan(a, method, **kw)(x, alpha, beta, y)
+def spmv(a, x, alpha: float = 1.0, beta: float = 0.0, y=None,
+         *, trans: bool = False, method: str = "auto", **kw):
+    """y_out = alpha * op(A) @ x + beta * y, op = A^T if trans else A.
+
+    ``a`` may be CSR or CSC (the reference operates over both); plans are
+    cached per derived matrix.
+    """
+    from .common import as_csr
+
+    return _get_plan(as_csr(a, trans), method, **kw)(x, alpha, beta, y)

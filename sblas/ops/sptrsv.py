@@ -52,9 +52,12 @@ class SptrsvPlan:
     """Analysis-phase product for one triangular matrix (reference: the
     per-matrix level-set analysis kernel, SURVEY.md C7)."""
 
-    def __init__(self, l: CSR, *, lower: bool = True,
+    def __init__(self, l, *, lower: bool = True,
                  unit_diagonal: bool = False, tile_rows: int = 0,
                  method: str = "auto", validate: bool = False):
+        from .common import as_csr
+
+        l = as_csr(l)
         self.shape = l.shape
         self.dtype = l.dtype
         self.lower = lower
@@ -157,9 +160,20 @@ class SptrsvPlan:
         )
 
 
-def sptrsv(l: CSR, b, *, lower: bool = True, unit_diagonal: bool = False,
-           method: str = "auto", **kw):
-    """Solve L x = b. The level-set analysis is cached per matrix."""
+def sptrsv(l, b, *, lower: bool = True, unit_diagonal: bool = False,
+           trans: bool = False, method: str = "auto", **kw):
+    """Solve op(L) x = b, op = L^T if trans else L.
+
+    ``lower`` describes the *stored* matrix ``l`` (CSR or CSC); with
+    ``trans=True`` the solved operator's triangularity flips (the classic
+    Cholesky backsolve L^T x = b given lower L). The level-set analysis is
+    cached per derived matrix.
+    """
+    from .common import as_csr
+
+    l = as_csr(l, trans)
+    if trans:
+        lower = not lower
     plans = _PLAN_CACHE.setdefault(l, {})
     key = ("sptrsv", lower, unit_diagonal, method, tuple(sorted(kw.items())))
     if key not in plans:
