@@ -7,6 +7,7 @@ BASELINE.json north_star):
     y = sblas.spmv(A, x, alpha=1.0, beta=0.0, y=None)
     Y = sblas.spmm(A, X, alpha=1.0, beta=0.0, y=None)
     x = sblas.sptrsv(L, b, lower=True, unit_diagonal=False)
+    X = sblas.sptrsm(L, B, lower=True)      # K right-hand sides, one analysis
 
 All three accept CSR or CSC and a ``trans=`` flag (op(A) = A^T), matching
 the reference's CSR/CSC surface; e.g. the Cholesky backsolve is
@@ -28,13 +29,13 @@ __all__ = [
     "coo_to_csr", "coo_to_csc", "csr_transpose", "tril", "triu",
     "read_mtx", "read_mtx_coo", "write_mtx",
     "datasets", "golden",
-    "spmv", "spmm", "sptrsv",
+    "spmv", "spmm", "sptrsv", "sptrsm",
 ]
 
 
 def __getattr__(name):
     # Lazy: importing sblas for host-side format work should not import JAX.
-    if name in ("spmv", "spmm", "sptrsv"):
+    if name in ("spmv", "spmm", "sptrsv", "sptrsm"):
         from . import ops
 
         return getattr(ops, name)

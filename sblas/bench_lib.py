@@ -19,10 +19,12 @@ import numpy as np
 from jax import lax
 
 from .formats import CSR
-from .golden import spmv_golden, spmm_golden, sptrsv_golden, rel_err, default_tol
+from .golden import (spmv_golden, spmm_golden, sptrsv_golden, sptrsm_golden,
+                     rel_err, default_tol)
 from .ops.spmv import SpmvPlan
 from .ops.spmm import SpmmPlan
 from .ops.sptrsv import SptrsvPlan
+from .ops.sptrsm import SptrsmPlan
 from .utils.timing import BenchRecord, measure_seconds_per_iter, stream_bandwidth
 
 # Keeps the carry numerically equal to x0 while forcing a data dependency on
@@ -234,6 +236,59 @@ def bench_sptrsv(l: CSR, *, validate: bool = True, iters: int = 20,
         rec.extra["jnp_reference_s"] = ref_per
         rec.extra["speedup_vs_jnp_reference"] = ref_per / per
     return rec
+
+
+def bench_sptrsm(l: CSR, k: int = 8, *, validate: bool = True,
+                 iters: int = 15) -> BenchRecord:
+    """Multi-RHS triangular solve; one analysis amortized over k columns."""
+    n = l.shape[0]
+    plan = SptrsmPlan(l)
+    rng = np.random.default_rng(0)
+    b0 = jnp.asarray(rng.standard_normal((n, k)).astype(l.dtype))
+
+    extra = {"nnz": l.nnz, "n": n, "k": k, "nlevels": plan.nlevels,
+             "padding_ratio": plan.padding_ratio, "method": plan.method,
+             "dtype": str(np.dtype(l.dtype))}
+    if validate:
+        x = np.asarray(plan(b0))
+        err = rel_err(x, sptrsm_golden(l, np.asarray(b0)))
+        extra["rel_err"] = err
+        tol = 1e-10 if l.dtype == np.float64 else 1e-3
+        assert err < tol, f"validation failed: {err}"
+
+    if plan.method == "pallas":
+        # measure the on-chip batched wavefront (host-side permutes, as in
+        # bench_sptrsv)
+        p = plan._sv._pallas
+        lay = p.layout
+        arrs = p.device_arrays()
+        b_pad = np.zeros((lay.num_blocks * 128, k), dtype=np.float32)
+        b_pad[np.asarray(lay.slot_of_row)] = np.asarray(b0, dtype=np.float32)
+        b2dk0 = jnp.asarray(
+            b_pad.T.reshape(k, -1, 16) * np.asarray(lay.inv_diag)[None]
+        )
+
+        def step(carry, arrs, b2dk):
+            x2dk = lax.map(lambda b2d: p.solve_permuted(arrs, b2d),
+                           b2dk + carry * _EPS)
+            return jnp.float32(_EPS) * x2dk[0, 0, 0]
+
+        per = measure_seconds_per_iter(step, jnp.float32(0.0), arrs, b2dk0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+        extra["permutes"] = "host-side"
+    else:
+        def step(b, arrs, b0):
+            return b0 + _EPS * plan.apply_pure(arrs, b)
+
+        per = measure_seconds_per_iter(step, b0, plan.device_arrays(), b0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+    extra["levels_per_s"] = plan.nlevels / per
+    return BenchRecord(
+        name=f"sptrsm_k{k}", seconds_per_iter=per, flops=2.0 * l.nnz * k,
+        bytes=plan.bytes_per_iter(k), extra=extra,
+    )
 
 
 def bench_dist_spmv(a: CSR, mesh=None, *, strategy: str = "nnz_balanced",

@@ -7,6 +7,7 @@ output, golden validation, and optional profiler traces:
     sblas-bench spmv   --matrix cant --dtype f32 --method ell --json out.json
     sblas-bench spmm   --matrix consph --k 32
     sblas-bench sptrsv --matrix chol:cant --compare-reference
+    sblas-bench sptrsm --matrix chol:cant --k 8
     sblas-bench dist-spmv --matrix cant --strategy nnz_split
     sblas-bench stream
 """
@@ -113,6 +114,10 @@ def main(argv=None):
     sp.add_argument("--compare-reference", action="store_true",
                     help="also time the naive jnp masked wavefront")
 
+    sp = sub.add_parser("sptrsm")
+    common(sp, tri=True)
+    sp.add_argument("--k", type=int, default=8)
+
     sp = sub.add_parser("dist-spmv")
     common(sp)
     sp.add_argument("--strategy", default="nnz_balanced",
@@ -158,6 +163,9 @@ def main(argv=None):
                 mat, validate=validate, iters=args.iters,
                 compare_reference=args.compare_reference,
                 tile_rows=args.tile_rows)
+        elif args.cmd == "sptrsm":
+            rec = bench_lib.bench_sptrsm(mat, args.k, validate=validate,
+                                         iters=args.iters)
         elif args.cmd == "dist-spmv":
             from .parallel import make_mesh
 

@@ -41,6 +41,12 @@ def sptrsv_golden(l: CSR, b, *, lower: bool = True, unit_diagonal: bool = False)
     return x.astype(np.asarray(b).dtype)
 
 
+def sptrsm_golden(l: CSR, b, *, lower: bool = True,
+                  unit_diagonal: bool = False):
+    """Multi-RHS triangular solve L X = B, B of shape (n, k), via scipy."""
+    return sptrsv_golden(l, b, lower=lower, unit_diagonal=unit_diagonal)
+
+
 def rel_err(approx, exact) -> float:
     """||approx - exact||_inf / max(||exact||_inf, tiny)."""
     approx = np.asarray(approx, dtype=np.float64)

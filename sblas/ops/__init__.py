@@ -14,8 +14,9 @@ import weakref
 from .spmv import SpmvPlan, spmv
 from .spmm import SpmmPlan, spmm
 from .sptrsv import SptrsvPlan, sptrsv
+from .sptrsm import SptrsmPlan, sptrsm
 
 __all__ = [
-    "SpmvPlan", "SpmmPlan", "SptrsvPlan",
-    "spmv", "spmm", "sptrsv",
+    "SpmvPlan", "SpmmPlan", "SptrsvPlan", "SptrsmPlan",
+    "spmv", "spmm", "sptrsv", "sptrsm",
 ]

@@ -46,3 +46,13 @@ def test_cli_dist_spmv(tmp_path):
     assert rc == 0
     rec = json.loads(out.read_text().strip())
     assert rec["name"].startswith("dist_spmv")
+
+
+def test_cli_sptrsm(tmp_path):
+    out = tmp_path / "r.json"
+    rc = main(["sptrsm", "--matrix", "tri:256:4", "--k", "4", "--iters", "4",
+               "--json", str(out)])
+    assert rc == 0
+    rec = json.loads(out.read_text().strip())
+    assert rec["name"] == "sptrsm_k4"
+    assert rec["rel_err"] < 1e-3
