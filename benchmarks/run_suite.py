@@ -87,6 +87,17 @@ def main():
         except Exception as e:
             print(f"# sptrsv {name} FAIL: {str(e)[:200]}", flush=True)
 
+    # SpTRSM: K RHS over the same factors (analysis shared with SpTRSV)
+    for name, l in tri_cases:
+        if args.quick:
+            break
+        try:
+            rec = bench_lib.bench_sptrsm(l, 8, iters=8)
+            rec.extra["matrix"] = name
+            emit(rec)
+        except Exception as e:
+            print(f"# sptrsm {name} FAIL: {str(e)[:200]}", flush=True)
+
     # Config #5 regime: scattered power-law graphs (PSEG fast path)
     for name, scale in (("uk-2002", 0.01), ("twitter7", 0.004)):
         if args.quick:
