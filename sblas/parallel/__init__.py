@@ -12,14 +12,16 @@ Develop/test on a CPU mesh via XLA_FLAGS=--xla_force_host_platform_device_count=
 identical code runs on a real v5e pod slice.
 """
 
-from .mesh import make_mesh, chips_axis
+from .mesh import make_mesh, make_mesh2d, chips_axis, rows_axis, cols_axis
 from .spmv_dist import DistSpmvPlan, RingSpmvPlan, dist_spmv
+from .spmv2d import Dist2DSpmvPlan, dist_spmv2d
 from .spmm_dist import DistSpmmPlan, dist_spmm
 from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
 
 __all__ = [
-    "make_mesh", "chips_axis",
+    "make_mesh", "make_mesh2d", "chips_axis", "rows_axis", "cols_axis",
     "DistSpmvPlan", "RingSpmvPlan", "dist_spmv",
+    "Dist2DSpmvPlan", "dist_spmv2d",
     "DistSpmmPlan", "dist_spmm",
     "DistSptrsvPlan", "dist_sptrsv",
 ]
