@@ -55,6 +55,17 @@ def main():
         rec.extra["matrix"] = name
         emit(rec)
 
+    # bf16 value stream on the flagship matrix (half the nnz stream)
+    if not args.quick:
+        try:
+            a = datasets.emulate("cant", scale=scale, dtype=np.float32)
+            rec = bench_lib.bench_spmv(a, method="auto", iters=25,
+                                       value_dtype="bfloat16")
+            rec.extra["matrix"] = "cant"
+            emit(rec)
+        except Exception as e:
+            print(f"# spmv bf16 FAIL: {str(e)[:200]}", flush=True)
+
     # Config #2: SpMM K=8/32
     for name in (fem[:2] if not args.quick else fem[:1]):
         a = datasets.emulate(name, scale=scale, dtype=np.float32)

@@ -39,12 +39,13 @@ def _attach_stream(rec: BenchRecord) -> None:
 
 
 def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
-               iters: int = 25, with_stream_pct: bool = True) -> BenchRecord:
+               iters: int = 25, with_stream_pct: bool = True,
+               value_dtype=None) -> BenchRecord:
     m, n = a.shape
     if m != n:
         raise ValueError("bench uses square matrices (carry feedback)")
     with jax.profiler.TraceAnnotation("retile"):
-        plan = SpmvPlan(a, method)
+        plan = SpmvPlan(a, method, value_dtype=value_dtype)
     rng = np.random.default_rng(0)
     with jax.profiler.TraceAnnotation("H2D"):
         x0 = jnp.asarray(rng.standard_normal(n).astype(a.dtype))
@@ -52,11 +53,15 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
     extra = {"method": plan.method, "nnz": a.nnz, "m": m,
              "dtype": str(np.dtype(a.dtype)),
              "fill": getattr(plan, "fill", 1.0)}
+    tol = default_tol(a.dtype)
+    if value_dtype is not None:
+        extra["value_dtype"] = str(np.dtype(value_dtype))
+        tol = max(tol, default_tol(value_dtype))
     if validate:
         y = np.asarray(plan(x0))
         err = rel_err(y, spmv_golden(a, np.asarray(x0)))
         extra["rel_err"] = err
-        assert err < default_tol(a.dtype), f"validation failed: {err}"
+        assert err < tol, f"validation failed: {err}"
 
     if plan.method == "pseg":
         # scattered fast path: iterate in hub-relabeled space (permutation
@@ -89,23 +94,27 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
 
 def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
                validate: bool = True, iters: int = 25,
-               with_stream_pct: bool = True) -> BenchRecord:
+               with_stream_pct: bool = True, value_dtype=None) -> BenchRecord:
     m, n = a.shape
     if m != n:
         raise ValueError("bench uses square matrices")
     with jax.profiler.TraceAnnotation("retile"):
-        plan = SpmmPlan(a, method)
+        plan = SpmmPlan(a, method, value_dtype=value_dtype)
     rng = np.random.default_rng(0)
     with jax.profiler.TraceAnnotation("H2D"):
         x0 = jnp.asarray(rng.standard_normal((n, k)).astype(a.dtype))
 
     extra = {"method": plan.method, "nnz": a.nnz, "m": m, "k": k,
              "dtype": str(np.dtype(a.dtype))}
+    tol = default_tol(a.dtype)
+    if value_dtype is not None:
+        extra["value_dtype"] = str(np.dtype(value_dtype))
+        tol = max(tol, default_tol(value_dtype))
     if validate:
         y = np.asarray(plan(x0))
         err = rel_err(y, spmm_golden(a, np.asarray(x0)))
         extra["rel_err"] = err
-        assert err < default_tol(a.dtype), f"validation failed: {err}"
+        assert err < tol, f"validation failed: {err}"
 
     if plan.method == "pseg":
         # scattered fast path: iterate in hub-relabeled space (same

@@ -101,12 +101,16 @@ def main(argv=None):
     sp.add_argument("--method", default="auto",
                     choices=["auto", "coo", "ell", "bucket", "pallas",
                              "pseg"])
+    sp.add_argument("--value-dtype", default=None, choices=["bf16"],
+                    help="store matrix values bf16 on the Pallas paths "
+                         "(halves the nnz stream; ~1e-3 value rounding)")
 
     sp = sub.add_parser("spmm")
     common(sp)
     sp.add_argument("--k", type=int, default=8)
     sp.add_argument("--method", default="auto",
                     choices=["auto", "ell", "bucket", "pallas", "pseg"])
+    sp.add_argument("--value-dtype", default=None, choices=["bf16"])
 
     sp = sub.add_parser("sptrsv")
     common(sp, tri=True)
@@ -152,12 +156,16 @@ def main(argv=None):
     validate = not args.no_validate
 
     with _maybe_profile(args):
+        vd = "bfloat16" if getattr(args, "value_dtype", None) == "bf16" \
+            else None
         if args.cmd == "spmv":
             rec = bench_lib.bench_spmv(mat, method=args.method,
-                                       validate=validate, iters=args.iters)
+                                       validate=validate, iters=args.iters,
+                                       value_dtype=vd)
         elif args.cmd == "spmm":
             rec = bench_lib.bench_spmm(mat, args.k, method=args.method,
-                                       validate=validate, iters=args.iters)
+                                       validate=validate, iters=args.iters,
+                                       value_dtype=vd)
         elif args.cmd == "sptrsv":
             rec = bench_lib.bench_sptrsv(
                 mat, validate=validate, iters=args.iters,

@@ -81,9 +81,14 @@ class PallasSpmm:
     signature; compiled per K)."""
 
     def __init__(self, a: CSR, *, th: int = 1024, sub: int = 0,
-                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2):
+                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2,
+                 value_dtype=None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        from .spmv_pallas import check_value_dtype
+
+        value_dtype = check_value_dtype(value_dtype)
+        self.value_dtype = value_dtype
         m, n = a.shape
         w = pack_wsell(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
         if w.fill < min_fill:
@@ -94,8 +99,9 @@ class PallasSpmm:
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
-        self.bytes_per_iter = w.bytes_per_iter
-        self._val = jnp.asarray(w.val)
+        self.bytes_per_iter = (w.bytes_per_iter
+                               - w.val.size * (4 - value_dtype.itemsize))
+        self._val = jnp.asarray(w.val).astype(value_dtype)
         self._lcol = jnp.asarray(w.lcol)
         self._wr = jnp.asarray(w.round_wrow)
         self._ob = jnp.asarray(w.round_obase)

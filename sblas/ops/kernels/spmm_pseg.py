@@ -66,9 +66,13 @@ class PallasSpmmScattered:
     """PSEG Pallas SpMM executor with hub relabeling (single chip)."""
 
     def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.25,
-                 reorder: bool = True):
+                 reorder: bool = True, value_dtype=None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        from .spmv_pallas import check_value_dtype
+
+        value_dtype = check_value_dtype(value_dtype)
+        self.value_dtype = value_dtype
         m, n = a.shape
         if reorder:
             ap, colperm, rowperm = hub_relabel(a)
@@ -85,14 +89,15 @@ class PallasSpmmScattered:
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
-        self.bytes_per_iter = w.bytes_per_iter   # per K-chunk pass
+        self.bytes_per_iter = (w.bytes_per_iter   # per K-chunk pass
+                               - w.val.size * (4 - value_dtype.itemsize))
         self.colperm = colperm
         self.rowperm = rowperm
         self._colperm = jnp.asarray(colperm.astype(np.int32))
         inv_row = np.empty(m, dtype=np.int64)
         inv_row[rowperm] = np.arange(m)
         self._rowperm_inv = jnp.asarray(inv_row.astype(np.int32))
-        self._val = jnp.asarray(w.val)
+        self._val = jnp.asarray(w.val).astype(value_dtype)
         self._lcol = jnp.asarray(w.lcol)
         self._tsb = jnp.asarray(w.tsb)
         self._wr = jnp.asarray(w.round_wrow)

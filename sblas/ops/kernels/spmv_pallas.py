@@ -36,6 +36,19 @@ _VMEM_X_LIMIT = 24 * (1 << 20)   # stage x fully in VMEM up to this size
 _VMEM_Y_LIMIT = 8 * (1 << 20)    # y accumulator cap
 
 
+def check_value_dtype(value_dtype):
+    """Validate the opt-in value-stream dtype (shared by all Pallas paths).
+
+    bf16 halves the dominant HBM stream (~12 -> ~8 B/nnz with int16 lcol)
+    at ~1e-3 value rounding; the gather and accumulation stay f32 (every
+    kernel upcasts), and bf16 is native on the VPU/MXU. x/y remain f32.
+    """
+    vd = jnp.dtype(value_dtype or jnp.float32)
+    if vd not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"value_dtype must be f32 or bf16, got {vd}")
+    return vd
+
+
 def _kernel(th, sub, nwin, wgroup):
     lps = LANES // sub
     ns = th // SUBLANES
@@ -88,9 +101,12 @@ class PallasSpmv:
     """w-SELL Pallas SpMV executor for one CSR matrix."""
 
     def __init__(self, a: CSR, *, th: int = 1024, sub: int = 0,
-                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2):
+                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2,
+                 value_dtype=None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        value_dtype = check_value_dtype(value_dtype)
+        self.value_dtype = value_dtype
         m, n = a.shape
         x_bytes = (-(-n // 128) + 1) * 128 * 4
         if x_bytes > _VMEM_X_LIMIT:
@@ -110,9 +126,10 @@ class PallasSpmv:
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
-        self.bytes_per_iter = w.bytes_per_iter + n * 4 + m * 4
+        self.bytes_per_iter = (w.bytes_per_iter + n * 4 + m * 4
+                               - w.val.size * (4 - value_dtype.itemsize))
         self.lcol_itemsize = w.lcol.itemsize
-        self._val = jnp.asarray(w.val)
+        self._val = jnp.asarray(w.val).astype(value_dtype)
         self._lcol = jnp.asarray(w.lcol)
         self._wr = jnp.asarray(w.round_wrow)
         self._ob = jnp.asarray(w.round_obase)

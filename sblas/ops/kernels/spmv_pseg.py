@@ -88,9 +88,13 @@ class PallasSpmvScattered:
     """PSEG Pallas SpMV executor with hub relabeling (single chip)."""
 
     def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.25,
-                 reorder: bool = True):
+                 reorder: bool = True, value_dtype=None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        from .spmv_pallas import check_value_dtype
+
+        value_dtype = check_value_dtype(value_dtype)
+        self.value_dtype = value_dtype
         m, n = a.shape
         x_bytes = (-(-n // 128) + 1) * 128 * 4
         if x_bytes > _VMEM_X_LIMIT:
@@ -119,14 +123,15 @@ class PallasSpmvScattered:
         self.dtype = a.dtype
         self.nnz = a.nnz
         self.bytes_per_iter = (w.bytes_per_iter + n * 4 + m * 4
-                               + w.n_stragglers * 12)
+                               + w.n_stragglers * 12
+                               - w.val.size * (4 - value_dtype.itemsize))
         self._colperm = jnp.asarray(colperm.astype(np.int32))
         inv_row = np.empty(m, dtype=np.int64)
         inv_row[rowperm] = np.arange(m)
         self._rowperm_inv = jnp.asarray(inv_row.astype(np.int32))
         self.colperm = colperm
         self.rowperm = rowperm
-        self._val = jnp.asarray(w.val)
+        self._val = jnp.asarray(w.val).astype(value_dtype)
         self._lcol = jnp.asarray(w.lcol)
         self._tsb = jnp.asarray(w.tsb)
         self._wr = jnp.asarray(w.round_wrow)

@@ -71,10 +71,12 @@ class SpmmPlan:
     """Retiled device-resident SpMM executor for one CSR matrix."""
 
     def __init__(self, a, method: str = "auto", *,
-                 max_width: int = 2048, intermediate_mb: int = 32):
+                 max_width: int = 2048, intermediate_mb: int = 32,
+                 value_dtype=None):
         from .common import as_csr
 
         a = as_csr(a)
+        self._value_dtype = value_dtype  # bf16 value stream (pallas paths)
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
@@ -88,7 +90,7 @@ class SpmmPlan:
             try:
                 from .kernels.spmm_pallas import PallasSpmm
 
-                self._pallas = PallasSpmm(a)
+                self._pallas = PallasSpmm(a, value_dtype=value_dtype)
                 self.method = "pallas"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
@@ -98,7 +100,7 @@ class SpmmPlan:
             from .kernels.spmm_pseg import PallasSpmmScattered
 
             try:
-                self._pallas = PallasSpmmScattered(a)
+                self._pallas = PallasSpmmScattered(a, value_dtype=value_dtype)
                 self.method = "pseg"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
@@ -134,7 +136,7 @@ class SpmmPlan:
         elif method == "pallas":
             from .kernels.spmm_pallas import PallasSpmm
 
-            self._pallas = PallasSpmm(a)
+            self._pallas = PallasSpmm(a, value_dtype=value_dtype)
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmm method {method!r}")

@@ -75,10 +75,12 @@ def _bucket_exec(bucket_arrays, perm, x, alpha, beta, y, m, with_y):
 class SpmvPlan:
     """Retiled device-resident SpMV executor for one CSR matrix."""
 
-    def __init__(self, a, method: str = "auto", *, max_width: int = 2048):
+    def __init__(self, a, method: str = "auto", *, max_width: int = 2048,
+                 value_dtype=None):
         from .common import as_csr
 
         a = as_csr(a)
+        self._value_dtype = value_dtype  # bf16 value stream (pallas paths)
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
@@ -91,7 +93,7 @@ class SpmvPlan:
             try:
                 from .kernels.spmv_pallas import PallasSpmv
 
-                self._pallas = PallasSpmv(a)
+                self._pallas = PallasSpmv(a, value_dtype=value_dtype)
                 self.method = "pallas"
                 self.bytes_per_iter = self._pallas.bytes_per_iter
                 return
@@ -101,7 +103,8 @@ class SpmvPlan:
             from .kernels.spmv_pseg import PallasSpmvScattered
 
             try:
-                self._pallas = PallasSpmvScattered(a)
+                self._pallas = PallasSpmvScattered(a,
+                                                   value_dtype=value_dtype)
                 self.method = "pseg"
                 self.bytes_per_iter = self._pallas.bytes_per_iter
                 self.fill = self._pallas.layout.fill
@@ -145,7 +148,7 @@ class SpmvPlan:
         elif method == "pallas":
             from .kernels.spmv_pallas import PallasSpmv
 
-            self._pallas = PallasSpmv(a)
+            self._pallas = PallasSpmv(a, value_dtype=value_dtype)
             self.bytes_per_iter = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmv method {method!r}")
