@@ -15,6 +15,7 @@ identical code runs on a real v5e pod slice.
 from .mesh import make_mesh, make_mesh2d, chips_axis, rows_axis, cols_axis
 from .spmv_dist import DistSpmvPlan, RingSpmvPlan, dist_spmv
 from .spmv2d import Dist2DSpmvPlan, dist_spmv2d
+from .spmm2d import Dist2DSpmmPlan, dist_spmm2d
 from .spmm_dist import DistSpmmPlan, dist_spmm
 from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
 
@@ -22,6 +23,7 @@ __all__ = [
     "make_mesh", "make_mesh2d", "chips_axis", "rows_axis", "cols_axis",
     "DistSpmvPlan", "RingSpmvPlan", "dist_spmv",
     "Dist2DSpmvPlan", "dist_spmv2d",
+    "Dist2DSpmmPlan", "dist_spmm2d",
     "DistSpmmPlan", "dist_spmm",
     "DistSptrsvPlan", "dist_sptrsv",
 ]

@@ -62,3 +62,26 @@ def test_2d_rejects_1d_mesh():
     a = datasets.random_csr(64, 64, 3, seed=5, dtype=np.float32)
     with pytest.raises(ValueError):
         Dist2DSpmvPlan(a, make_mesh(4))
+
+
+@pytest.mark.parametrize("grid,k", [((2, 4), 8), ((4, 2), 3)])
+def test_2d_spmm(grid, k):
+    from sblas.parallel import Dist2DSpmmPlan
+
+    mesh = make_mesh2d(*grid)
+    a = datasets.random_csr(500, 420, 6, seed=6, dtype=np.float32)
+    x = np.random.default_rng(6).standard_normal((420, k)).astype(np.float32)
+    p = Dist2DSpmmPlan(a, mesh)
+    assert rel_err(np.asarray(p(x)), spmv_golden(a, x)) < 1e-5
+
+
+def test_2d_spmm_alpha_beta():
+    from sblas.parallel import dist_spmm2d, Dist2DSpmmPlan
+
+    mesh = make_mesh2d(2, 2)
+    a = datasets.random_csr(256, 256, 5, seed=7, dtype=np.float32)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((256, 4)).astype(np.float32)
+    y0 = rng.standard_normal((256, 4)).astype(np.float32)
+    out = np.asarray(Dist2DSpmmPlan(a, mesh)(x, alpha=1.5, beta=-2.0, y=y0))
+    assert rel_err(out, spmv_golden(a, x, alpha=1.5, beta=-2.0, y=y0)) < 1e-5
