@@ -339,3 +339,101 @@ extern "C" int64_t sblas_pack_trsv_f32(
   }
   return nrounds;
 }
+
+// PSEG round builder (see sblas/retile_pseg.py for the layout contract).
+// Inputs are the nnz stream sorted by (block, target-lane, panel); this is
+// the per-block greedy that Python does ~1 us/nnz — here one linear pass.
+// Rounds whose total take is below divert_below are not emitted; their
+// entry indices (into the SORTED stream) go to strag_idx instead.
+// Outputs val/lcol/tsb are (max_rounds*8, 128) row-major; returns the
+// number of rounds, or -1 if max_rounds was too small.
+extern "C" int64_t sblas_pack_pseg_f32(
+    const int32_t* blk_s, const int32_t* tl_s, const int32_t* ts_s,
+    const int32_t* pan_s, const int32_t* col_s, const float* val_s,
+    int64_t nnz, int32_t divert_below, int64_t max_rounds,
+    float* val_out, int32_t* lcol_out, int32_t* tsb_out,
+    int32_t* wrow_out, int32_t* oblk_out,
+    int64_t* strag_idx, int64_t* n_strag_out) {
+  const int32_t LANES_ = 128;
+  const int32_t SUB_ = 8;
+  int64_t nrounds = 0;
+  int64_t nstrag = 0;
+  int64_t lane_lo[129];
+  int64_t heads[128];
+
+  int64_t lo = 0;
+  while (lo < nnz) {
+    const int32_t b = blk_s[lo];
+    int64_t hi = lo;
+    while (hi < nnz && blk_s[hi] == b) ++hi;
+
+    // lane boundaries within [lo, hi): tl_s ascending
+    {
+      int64_t p = lo;
+      for (int32_t l = 0; l < LANES_; ++l) {
+        while (p < hi && tl_s[p] < l) ++p;
+        lane_lo[l] = p;
+      }
+      lane_lo[128] = hi;
+      // heads start at each lane's lo; lane l spans [lane_lo[l], lane_lo[l+1])
+      for (int32_t l = 0; l < LANES_; ++l) heads[l] = lane_lo[l];
+    }
+
+    for (;;) {
+      // w = min panel over active lane heads
+      int32_t w = INT32_MAX;
+      for (int32_t l = 0; l < LANES_; ++l) {
+        if (heads[l] < lane_lo[l + 1]) {
+          const int32_t p = pan_s[heads[l]];
+          if (p < w) w = p;
+        }
+      }
+      if (w == INT32_MAX) break;
+
+      // first pass: counts + total (take up to 8 entries with panel <= w+1)
+      int32_t cnt[128];
+      int64_t total = 0;
+      for (int32_t l = 0; l < LANES_; ++l) {
+        const int64_t h = heads[l];
+        const int64_t stop =
+            (lane_lo[l + 1] < h + SUB_) ? lane_lo[l + 1] : h + SUB_;
+        int32_t c = 0;
+        while (h + c < stop && pan_s[h + c] <= w + 1) ++c;
+        cnt[l] = c;
+        total += c;
+      }
+
+      if (total < (int64_t)divert_below) {
+        for (int32_t l = 0; l < LANES_; ++l) {
+          for (int32_t t = 0; t < cnt[l]; ++t)
+            strag_idx[nstrag++] = heads[l] + t;
+          heads[l] += cnt[l];
+        }
+        continue;
+      }
+
+      if (nrounds >= max_rounds) return -1;
+      float* vt = val_out + nrounds * SUB_ * LANES_;
+      int32_t* ct = lcol_out + nrounds * SUB_ * LANES_;
+      int32_t* tt = tsb_out + nrounds * SUB_ * LANES_;
+      memset(vt, 0, sizeof(float) * SUB_ * LANES_);
+      memset(ct, 0, sizeof(int32_t) * SUB_ * LANES_);
+      memset(tt, 0, sizeof(int32_t) * SUB_ * LANES_);
+      for (int32_t l = 0; l < LANES_; ++l) {
+        const int64_t h = heads[l];
+        for (int32_t t = 0; t < cnt[l]; ++t) {
+          vt[(int64_t)t * LANES_ + l] = val_s[h + t];
+          ct[(int64_t)t * LANES_ + l] = col_s[h + t] - w * LANES_;
+          tt[(int64_t)t * LANES_ + l] = ts_s[h + t];
+        }
+        heads[l] += cnt[l];
+      }
+      wrow_out[nrounds] = w;
+      oblk_out[nrounds] = b;
+      ++nrounds;
+    }
+    lo = hi;
+  }
+  *n_strag_out = nstrag;
+  return nrounds;
+}

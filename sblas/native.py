@@ -73,6 +73,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         f32p, i32p, i32p, i32p, i32p, i32p,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sblas_pack_pseg_f32.restype = ctypes.c_int64
+    lib.sblas_pack_pseg_f32.argtypes = [
+        i32p, i32p, i32p, i32p, i32p, f32p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        f32p, i32p, i32p, i32p, i32p, i64p, i64p,
+    ]
     _lib = lib
     return _lib
 
@@ -191,6 +198,49 @@ def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
     if n < 0:
         raise RuntimeError("w-SELL packer under-allocated (bug)")
     return int(n), val[: n * 8], lcol[: n * 8], wrow[:n], obase[:n]
+
+
+def pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s, divert_below):
+    """Native PSEG round builder over the (block, lane, panel)-sorted nnz
+    stream. Returns (R, val, lcol, tsb, wrow, oblk, strag_idx) or None.
+    val/lcol/tsb are (R*8, 128); strag_idx indexes the sorted stream."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    import ctypes as _ct
+
+    nnz = len(val_s)
+    blk_s = np.ascontiguousarray(blk_s, dtype=np.int32)
+    tl_s = np.ascontiguousarray(tl_s, dtype=np.int32)
+    ts_s = np.ascontiguousarray(ts_s, dtype=np.int32)
+    pan_s = np.ascontiguousarray(pan_s, dtype=np.int32)
+    col_s = np.ascontiguousarray(col_s, dtype=np.int32)
+    val_s = np.ascontiguousarray(val_s, dtype=np.float32)
+    num_blocks = int(blk_s[-1]) + 1 if nnz else 1
+    # every emitted round carries >= max(divert_below, 1) entries
+    max_rounds = nnz // max(divert_below, 1) + num_blocks + 2
+    f32p = _ct.POINTER(_ct.c_float)
+    i64p = _ct.POINTER(_ct.c_int64)
+    val = np.empty((max_rounds * 8, 128), dtype=np.float32)
+    lcol = np.empty((max_rounds * 8, 128), dtype=np.int32)
+    tsb = np.empty((max_rounds * 8, 128), dtype=np.int32)
+    wrow = np.empty(max_rounds, dtype=np.int32)
+    oblk = np.empty(max_rounds, dtype=np.int32)
+    strag = np.empty(max(nnz, 1), dtype=np.int64)
+    n_strag = np.zeros(1, dtype=np.int64)
+    R = lib.sblas_pack_pseg_f32(
+        _as_i32p(blk_s), _as_i32p(tl_s), _as_i32p(ts_s), _as_i32p(pan_s),
+        _as_i32p(col_s), val_s.ctypes.data_as(f32p),
+        nnz, int(divert_below), max_rounds,
+        val.ctypes.data_as(f32p), _as_i32p(lcol), _as_i32p(tsb),
+        _as_i32p(wrow), _as_i32p(oblk),
+        strag.ctypes.data_as(i64p), n_strag.ctypes.data_as(i64p),
+    )
+    if R < 0:
+        raise RuntimeError("PSEG packer under-allocated (bug)")
+    ns = int(n_strag[0])
+    return (int(R), val[: R * 8], lcol[: R * 8], tsb[: R * 8],
+            wrow[:R], oblk[:R], strag[:ns])
 
 
 def pack_trsv_rounds(indptr, indices, data, row_of_slot, slot_of_row,

@@ -134,6 +134,48 @@ def _pack_pseg_impl(a: CSR, *, th: int, divert_below: int) -> PSeg:
     pan_s, col_s, val_s = panel[order], cols[order], data[order]
 
     num_blocks = int(blk.max(initial=0)) + 1 if a.nnz else 1
+
+    # native C++ round builder (one linear pass; the python greedy below is
+    # ~1 us/nnz, which matters at web-graph scale)
+    from . import native
+
+    packed = native.pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s,
+                                     divert_below)
+    if packed is not None:
+        R, valN, lcolN, tsbN, wrowN, oblkN, sidx = packed
+        if len(sidx):
+            s_rows = (blk_s[sidx] * BLOCK_ROWS + ts_s[sidx] * LANES
+                      + tl_s[sidx]).astype(INDEX_DTYPE)
+            s_cols = col_s[sidx].astype(INDEX_DTYPE)
+            s_vals = val_s[sidx].astype(np.float32)
+        else:
+            s_rows = np.zeros(0, dtype=INDEX_DTYPE)
+            s_cols = np.zeros(0, dtype=INDEX_DTYPE)
+            s_vals = np.zeros(0, dtype=np.float32)
+        ns = max(th // SUBLANES, 1)
+        Rp = max(R, 1)            # zero rounds -> one all-zero pad round
+        T = -(-Rp // ns)
+        total = T * ns
+        val = np.zeros((total * SUBLANES, LANES), dtype=np.float32)
+        lcol = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
+        tsb = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
+        wrow = np.zeros(total, dtype=np.int64)
+        oblk = np.zeros(total, dtype=np.int64)
+        val[: R * SUBLANES] = valN
+        lcol[: R * SUBLANES] = lcolN
+        tsb[: R * SUBLANES] = tsbN
+        wrow[:R] = wrowN
+        oblk[:R] = oblkN
+        return PSeg(
+            m=m, n=n, nnz=a.nnz, th=ns * SUBLANES, num_tiles=T,
+            num_rounds=Rp, val=val, lcol=lcol, tsb=tsb,
+            round_wrow=wrow.astype(INDEX_DTYPE),
+            round_oblk=oblk.astype(INDEX_DTYPE),
+            x2d_rows=-(-n // LANES) + 1,
+            y_rows=num_blocks * SUBLANES,
+            s_rows=s_rows, s_cols=s_cols, s_vals=s_vals,
+        )
+
     rounds = []  # (wrow, oblk, vt, ct, tt)
     strag = []   # index ranges diverted to the COO side-path
 
