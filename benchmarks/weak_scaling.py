@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--avg-deg", type=float, default=16.0)
     ap.add_argument("--kind", choices=["powerlaw", "fem"], default="powerlaw")
     ap.add_argument("--chips", default="1,2,4,8")
+    ap.add_argument("--plan", choices=["1d", "2d"], default="1d",
+                    help="1d = row split + x all_gather; 2d = (rows, cols) "
+                         "mesh, x sharded over cols, psum of partial y "
+                         "(collective bytes shrink as the mesh grows)")
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force the virtual CPU mesh")
     ap.add_argument("--out", default=None)
@@ -54,8 +58,8 @@ def main():
     import jax.numpy as jnp
 
     from sblas import datasets
-    from sblas.parallel import DistSpmvPlan
-    from sblas.parallel.mesh import make_mesh
+    from sblas.parallel import DistSpmvPlan, Dist2DSpmvPlan
+    from sblas.parallel.mesh import make_mesh, make_mesh2d
     from sblas.golden import spmv_golden, rel_err
     from sblas.utils.timing import measure_seconds_per_iter
 
@@ -77,22 +81,39 @@ def main():
             a = datasets.random_csr(n, n, args.avg_deg,
                                     bandwidth=int(args.avg_deg * 3),
                                     seed=nc, dtype=np.float32)
-        mesh = make_mesh(nc)
-        plan = DistSpmvPlan(a, mesh, strategy="nnz_balanced")
+        if args.plan == "2d":
+            r = int(np.sqrt(nc))
+            while nc % r:
+                r -= 1
+            mesh = make_mesh2d(r, nc // r)
+            plan = Dist2DSpmvPlan(a, mesh)
+        else:
+            mesh = make_mesh(nc)
+            plan = DistSpmvPlan(a, mesh, strategy="nnz_balanced")
         x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
         y = np.asarray(plan(x))
         err = rel_err(y, spmv_golden(a, x))
 
         rec = {
             "chips": nc, "n": n, "nnz": a.nnz,
+            "plan": args.plan,
             "rel_err": float(err),
             "nnz_balance": float(plan.nnz_balance),
             "local_method": plan.local_method,
             "stream_bytes_per_chip": int(plan.bytes_per_iter // nc),
-            "x_gather_bytes_per_chip": int((plan.n_pad - plan.x_chunk) * 4),
             "backend": jax.default_backend(),
             "correctness_only": correctness_only,
         }
+        if args.plan == "2d":
+            R, C = plan.grid
+            y_local = getattr(plan, "rows_pad",
+                              n // max(R, 1))  # partial-y length per chip
+            rec["grid"] = f"{R}x{C}"
+            rec["psum_bytes_per_chip"] = int(
+                2 * (C - 1) / max(C, 1) * y_local * 4)
+        else:
+            rec["x_gather_bytes_per_chip"] = int(
+                (plan.n_pad - plan.x_chunk) * 4)
         if not correctness_only:
             # real pod: measure per-chip bandwidth
             if plan.local_method == "pallas":
