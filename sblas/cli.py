@@ -127,6 +127,9 @@ def main(argv=None):
     sp.add_argument("--strategy", default="nnz_balanced",
                     choices=["even_rows", "nnz_balanced", "nnz_split"])
     sp.add_argument("--chips", type=int, default=0, help="0 = all devices")
+    sp.add_argument("--mesh2d", default=None, metavar="RxC",
+                    help="use the 2D plan on an RxC mesh (e.g. 2x4): x "
+                         "sharded over cols + psum, no all_gather")
 
     sp = sub.add_parser("stream")
     sp.add_argument("--json", default=None)
@@ -175,12 +178,52 @@ def main(argv=None):
             rec = bench_lib.bench_sptrsm(mat, args.k, validate=validate,
                                          iters=args.iters)
         elif args.cmd == "dist-spmv":
-            from .parallel import make_mesh
+            if args.mesh2d:
+                from .parallel import Dist2DSpmvPlan, make_mesh2d
+                from .golden import spmv_golden, rel_err
 
-            mesh = make_mesh(args.chips or None)
-            rec = bench_lib.bench_dist_spmv(mat, mesh, strategy=args.strategy,
-                                            validate=validate,
-                                            iters=args.iters)
+                import jax as _jax
+                import jax.numpy as jnp
+
+                from .utils.timing import measure_seconds_per_iter
+
+                r, c = (int(v) for v in args.mesh2d.lower().split("x"))
+                plan = Dist2DSpmvPlan(mat, make_mesh2d(r, c))
+                x = np.random.default_rng(0).standard_normal(
+                    mat.shape[1]).astype(mat.dtype)
+                err = rel_err(np.asarray(plan(x)), spmv_golden(mat, x))
+                n = mat.shape[1]
+                x_pad0 = jnp.zeros(plan.n_pad,
+                                   plan.dtype).at[:n].set(jnp.asarray(x))
+                x_pad0 = _jax.device_put(x_pad0, plan._x_sharding)
+                if plan.local_method == "pallas":
+                    run = plan._run_pallas
+                    arrs = (plan._wr, plan._ob, plan._val, plan._lcol)
+                else:
+                    run = plan._run
+                    arrs = (plan._col, plan._val)
+
+                def step(xp, *rest):
+                    yv = run(*rest[:-1], xp)
+                    return rest[-1] + 1e-30 * jnp.pad(
+                        yv, (0, plan.n_pad - mat.shape[0]))[: plan.n_pad]
+
+                per = measure_seconds_per_iter(step, x_pad0, *arrs, x_pad0,
+                                               iters_lo=2,
+                                               iters_hi=args.iters)
+                rec = BenchRecord(
+                    name=f"dist_spmv2d_{r}x{c}", seconds_per_iter=per,
+                    flops=2.0 * mat.nnz, bytes=plan.bytes_per_iter,
+                    extra={"rel_err": float(err), "grid": args.mesh2d,
+                           "local_method": plan.local_method},
+                )
+            else:
+                from .parallel import make_mesh
+
+                mesh = make_mesh(args.chips or None)
+                rec = bench_lib.bench_dist_spmv(
+                    mat, mesh, strategy=args.strategy, validate=validate,
+                    iters=args.iters)
         else:
             raise SystemExit(f"unknown cmd {args.cmd}")
     rec.extra["matrix"] = args.matrix

@@ -56,3 +56,13 @@ def test_cli_sptrsm(tmp_path):
     rec = json.loads(out.read_text().strip())
     assert rec["name"] == "sptrsm_k4"
     assert rec["rel_err"] < 1e-3
+
+
+def test_cli_dist_spmv_2d(tmp_path):
+    out = tmp_path / "r.json"
+    rc = main(["dist-spmv", "--matrix", "random:512:5", "--mesh2d", "2x4",
+               "--iters", "3", "--json", str(out)])
+    assert rc == 0
+    rec = json.loads(out.read_text().strip())
+    assert rec["name"] == "dist_spmv2d_2x4"
+    assert rec["rel_err"] < 1e-5
