@@ -20,7 +20,7 @@ through ``sblas.parallel``.
 
 from .formats import COO, CSR, CSC, coo_to_csr, coo_to_csc, csr_transpose, tril, triu
 from .io import read_mtx, read_mtx_coo, write_mtx
-from . import datasets, golden
+from . import datasets, golden, reorder
 
 __version__ = "0.1.0"
 
@@ -28,7 +28,7 @@ __all__ = [
     "COO", "CSR", "CSC",
     "coo_to_csr", "coo_to_csc", "csr_transpose", "tril", "triu",
     "read_mtx", "read_mtx_coo", "write_mtx",
-    "datasets", "golden",
+    "datasets", "golden", "reorder",
     "spmv", "spmm", "sptrsv", "sptrsm",
 ]
 
