@@ -18,6 +18,7 @@ from .spmv2d import Dist2DSpmvPlan, dist_spmv2d
 from .spmm2d import Dist2DSpmmPlan, dist_spmm2d
 from .spmm_dist import DistSpmmPlan, dist_spmm
 from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
+from .sptrsm_dist import DistSptrsmPlan, dist_sptrsm
 
 __all__ = [
     "make_mesh", "make_mesh2d", "chips_axis", "rows_axis", "cols_axis",
@@ -26,4 +27,5 @@ __all__ = [
     "Dist2DSpmmPlan", "dist_spmm2d",
     "DistSpmmPlan", "dist_spmm",
     "DistSptrsvPlan", "dist_sptrsv",
+    "DistSptrsmPlan", "dist_sptrsm",
 ]

@@ -219,8 +219,17 @@ class DistSptrsvPlan:
         self._val = jax.device_put(val, sh(P(chips_axis)))
         self._inv_diag = jax.device_put(inv_diag[:, :, None],
                                         sh(P(chips_axis)))
-        # full slot->row map, replicated, for the exchange scatter
-        self._slot_row_all = jnp.asarray(slot_row)
+        # Full slot->row map, replicated, for the exchange scatter.
+        # Padded by the largest segment chunk: the exchange dynamic-slices
+        # (ndev, chunk) at t0*tr, and a segment's LAST batch can have
+        # t0*tr + chunk > S — XLA clamps out-of-bounds starts, which would
+        # silently shift the slice onto the previous batch's rows and
+        # scatter the gathered values to the wrong places (observed: 0.24
+        # rel-err on lower_triangular(600, 5, seed=1) with 8 chips).
+        max_chunk = max(ct for (_, _, ct) in segs) * tr
+        sr_pad = np.full((ndev, S + max_chunk), n, dtype=INDEX_DTYPE)
+        sr_pad[:, :S] = slot_row
+        self._slot_row_all = jnp.asarray(sr_pad)
         self._batch_t0 = jnp.asarray(batch_t0.astype(np.int32))
         self._batch_nt = jnp.asarray(batch_nt.astype(np.int32))
         self.bytes_per_iter = col.size * (4 + l.data.itemsize)
@@ -302,6 +311,7 @@ class DistSptrsvPlan:
         def run(slot_row, col, val, inv_diag, sr_all, b_pad):
             return fn(slot_row, col, val, inv_diag, sr_all, b_pad)[0]
 
+        self._fn = fn   # raw shard_map body (multi-RHS wrapper maps over it)
         self._run = run
 
     def __call__(self, b):

@@ -168,3 +168,28 @@ def test_dist_spmm_pseg_body(mesh8):
     y = np.asarray(p(x))
     assert rel_err(y, spmm_golden(g, x)) < 1e-5
     assert DistSpmmPlan(g, mesh8).local_method == "pseg"
+
+
+def test_dist_sptrsv_segment_tail_no_clamp(mesh8):
+    """Regression: a segment's last batch used to dynamic-slice past the
+    slot map's end; XLA clamps the start, scattering the exchange onto the
+    previous batch's rows (0.24 rel-err on exactly this instance)."""
+    l = datasets.lower_triangular(600, 5, seed=1, dtype=np.float32)
+    b = np.random.default_rng(0).standard_normal(600).astype(np.float32)
+    x = np.asarray(DistSptrsvPlan(l, mesh8)(b))
+    assert rel_err(x, sptrsv_golden(l, b)) < 1e-4
+
+
+def test_dist_sptrsm(mesh8):
+    from sblas.parallel import DistSptrsmPlan
+    from sblas.golden import sptrsm_golden
+
+    l = datasets.lower_triangular(500, 5, seed=3, dtype=np.float32)
+    b = np.random.default_rng(1).standard_normal((500, 6)).astype(np.float32)
+    plan = DistSptrsmPlan(l, mesh8)
+    x = np.asarray(plan(b))
+    assert x.shape == (500, 6)
+    assert rel_err(x, sptrsm_golden(l, b)) < 1e-4
+    # per-column agreement with the 1-RHS dist solve
+    x0 = np.asarray(DistSptrsvPlan(l, mesh8)(b[:, 0]))
+    np.testing.assert_allclose(x[:, 0], x0, rtol=1e-5, atol=1e-6)
