@@ -28,7 +28,7 @@ __all__ = [
     "COO", "CSR", "CSC",
     "coo_to_csr", "coo_to_csc", "csr_transpose", "tril", "triu",
     "read_mtx", "read_mtx_coo", "write_mtx",
-    "datasets", "golden", "reorder",
+    "datasets", "golden", "reorder", "solvers",
     "spmv", "spmm", "sptrsv", "sptrsm",
 ]
 
@@ -39,4 +39,8 @@ def __getattr__(name):
         from . import ops
 
         return getattr(ops, name)
+    if name == "solvers":
+        from . import solvers
+
+        return solvers
     raise AttributeError(f"module 'sblas' has no attribute {name!r}")

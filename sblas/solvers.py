@@ -1,0 +1,93 @@
+"""Jitted iterative solvers on the plan API (device-resident CG / PCG).
+
+examples/cg.py shows the host-loop version; this module is the TPU-native
+one: the whole Krylov iteration lives inside a single ``lax.while_loop``
+under jit, with the matrix's retiled arrays passed as jit arguments
+(``plan.device_arrays()`` + ``apply_pure`` — see DESIGN.md on why device
+arrays must never be closure constants on the axon path). One dispatch per
+solve; no host↔device traffic inside the loop.
+
+    x, info = sblas.solvers.cg(A, b, tol=1e-6)
+    x, info = sblas.solvers.cg(A, b, M=sblas.solvers.jacobi(A))
+
+Preconditioners are ``(arrs, apply)`` pairs where ``apply(arrs, r) -> z``
+is jit-composable; ``jacobi(a)`` builds diagonal scaling. (SSOR via two
+SpTRSV tile solves composes the same way — see examples/cg.py for the
+host-side variant.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .formats import CSR
+from .ops.spmv import SpmvPlan
+
+
+def jacobi(a: CSR):
+    """Diagonal (Jacobi) preconditioner: z = r / diag(A)."""
+    coo = a.tocoo()
+    d = np.ones(a.shape[0], dtype=a.dtype)
+    m = coo.row == coo.col
+    d[coo.row[m]] = coo.data[m]
+    inv = jnp.asarray((1.0 / d).astype(a.dtype))
+
+    def apply(arrs, r):
+        return arrs * r
+
+    return inv, apply
+
+
+@functools.partial(jax.jit, static_argnames=("apply_a", "apply_m",
+                                             "maxiter"))
+def _cg_loop(arrs_a, arrs_m, b, x0, tol, apply_a, apply_m, maxiter):
+    bnorm = jnp.linalg.norm(b)
+    r0 = b - apply_a(arrs_a, x0)
+    z0 = apply_m(arrs_m, r0) if apply_m else r0
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        _, r, *_ , it = s
+        return (jnp.linalg.norm(r) > tol * bnorm) & (it < maxiter)
+
+    def step(s):
+        x, r, z, p, rz, it = s
+        ap = apply_a(arrs_a, p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = apply_m(arrs_m, r) if apply_m else r
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, *_, it = lax.while_loop(cond, step, state)
+    return x, it, jnp.linalg.norm(r) / jnp.maximum(bnorm, 1e-30)
+
+
+def cg(a, b, *, tol: float = 1e-6, maxiter: int = 1000, M=None, x0=None,
+       method: str = "auto"):
+    """Conjugate gradient for SPD A (CSR/CSC), one jitted while_loop.
+
+    ``M`` is an (arrs, apply) pair (e.g. ``jacobi(a)``). Returns
+    (x, {"iterations", "rel_residual"}).
+    """
+    plan = a if isinstance(a, SpmvPlan) else SpmvPlan(a, method)
+    n = plan.shape[0]
+    if plan.shape[0] != plan.shape[1]:
+        raise ValueError("cg needs a square matrix")
+    b = jnp.asarray(b, dtype=plan.dtype)
+    x0 = (jnp.zeros(n, dtype=plan.dtype) if x0 is None
+          else jnp.asarray(x0, dtype=plan.dtype))
+    arrs_m, apply_m = (None, None) if M is None else M
+    x, it, res = _cg_loop(
+        plan.device_arrays(), arrs_m, b, x0,
+        jnp.asarray(tol, dtype=plan.dtype),
+        plan.apply_pure, apply_m, maxiter,
+    )
+    return x, {"iterations": int(it), "rel_residual": float(res)}
