@@ -40,7 +40,9 @@ def __getattr__(name):
 
         return getattr(ops, name)
     if name == "solvers":
-        from . import solvers
+        # importlib, not `from . import`: the latter re-enters this
+        # __getattr__ for the same name before the import binds it
+        import importlib
 
-        return solvers
+        return importlib.import_module(".solvers", __name__)
     raise AttributeError(f"module 'sblas' has no attribute {name!r}")

@@ -70,6 +70,58 @@ def _cg_loop(arrs_a, arrs_m, b, x0, tol, apply_a, apply_m, maxiter):
     return x, it, jnp.linalg.norm(r) / jnp.maximum(bnorm, 1e-30)
 
 
+@functools.partial(jax.jit, static_argnames=("apply_a", "apply_m",
+                                             "maxiter"))
+def _bicgstab_loop(arrs_a, arrs_m, b, x0, tol, apply_a, apply_m, maxiter):
+    bnorm = jnp.linalg.norm(b)
+    r0 = b - apply_a(arrs_a, x0)
+    rhat = r0
+    state = (x0, r0, r0, jnp.vdot(rhat, r0), jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        _, r, *_ , it = s
+        return (jnp.linalg.norm(r) > tol * bnorm) & (it < maxiter)
+
+    def step(s):
+        x, r, p, rho, it = s
+        ph = apply_m(arrs_m, p) if apply_m else p
+        v = apply_a(arrs_a, ph)
+        alpha = rho / jnp.vdot(rhat, v)
+        ssr = r - alpha * v
+        sh = apply_m(arrs_m, ssr) if apply_m else ssr
+        t = apply_a(arrs_a, sh)
+        omega = jnp.vdot(t, ssr) / jnp.vdot(t, t)
+        x = x + alpha * ph + omega * sh
+        r = ssr - omega * t
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        return (x, r, p, rho_new, it + 1)
+
+    x, r, *_, it = lax.while_loop(cond, step, state)
+    return x, it, jnp.linalg.norm(r) / jnp.maximum(bnorm, 1e-30)
+
+
+def bicgstab(a, b, *, tol: float = 1e-6, maxiter: int = 1000, M=None,
+             x0=None, method: str = "auto"):
+    """BiCGSTAB for general (nonsymmetric) square A — same jitted
+    while_loop structure as :func:`cg`."""
+    plan = a if isinstance(a, SpmvPlan) else SpmvPlan(a, method)
+    n = plan.shape[0]
+    if plan.shape[0] != plan.shape[1]:
+        raise ValueError("bicgstab needs a square matrix")
+    b = jnp.asarray(b, dtype=plan.dtype)
+    x0 = (jnp.zeros(n, dtype=plan.dtype) if x0 is None
+          else jnp.asarray(x0, dtype=plan.dtype))
+    arrs_m, apply_m = (None, None) if M is None else M
+    x, it, res = _bicgstab_loop(
+        plan.device_arrays(), arrs_m, b, x0,
+        jnp.asarray(tol, dtype=plan.dtype),
+        plan.apply_pure, apply_m, maxiter,
+    )
+    return x, {"iterations": int(it), "rel_residual": float(res)}
+
+
 def cg(a, b, *, tol: float = 1e-6, maxiter: int = 1000, M=None, x0=None,
        method: str = "auto"):
     """Conjugate gradient for SPD A (CSR/CSC), one jitted while_loop.

@@ -58,3 +58,29 @@ def test_cg_rejects_rectangular():
     a = datasets.random_csr(10, 20, 3, seed=4, dtype=np.float32)
     with pytest.raises(ValueError):
         solvers.cg(a, np.zeros(10, np.float32))
+
+
+def test_bicgstab_nonsymmetric():
+    # diagonally dominant nonsymmetric system
+    a = datasets.random_csr(800, 800, 6, bandwidth=40, seed=5,
+                            dtype=np.float64)
+    s = a.to_scipy().tolil()
+    import scipy.sparse as sp
+
+    s.setdiag(np.abs(s).sum(axis=1).A1 + 1.0)
+    m = CSR.from_scipy(s.tocsr()).astype(np.float32)
+    b = np.random.default_rng(6).standard_normal(800).astype(np.float32)
+    x, info = solvers.bicgstab(m, b, tol=1e-5, maxiter=500)
+    assert info["rel_residual"] < 1e-5
+    err = (np.linalg.norm(m.to_scipy() @ np.asarray(x) - b)
+           / np.linalg.norm(b))
+    assert err < 5e-5
+
+
+def test_bicgstab_with_jacobi():
+    a = _badly_scaled_spd(n=900, seed=7)
+    b = np.random.default_rng(8).standard_normal(a.shape[0]).astype(
+        np.float32)
+    _, pre = solvers.bicgstab(a, b, tol=1e-4, maxiter=3000,
+                              M=solvers.jacobi(a))
+    assert pre["rel_residual"] < 1e-4
