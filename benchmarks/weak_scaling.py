@@ -26,10 +26,11 @@ def main():
     ap.add_argument("--avg-deg", type=float, default=16.0)
     ap.add_argument("--kind", choices=["powerlaw", "fem"], default="powerlaw")
     ap.add_argument("--chips", default="1,2,4,8")
-    ap.add_argument("--plan", choices=["1d", "2d"], default="1d",
+    ap.add_argument("--plan", choices=["1d", "2d", "halo"], default="1d",
                     help="1d = row split + x all_gather; 2d = (rows, cols) "
-                         "mesh, x sharded over cols, psum of partial y "
-                         "(collective bytes shrink as the mesh grows)")
+                         "mesh, x sharded over cols, psum of partial y; "
+                         "halo = neighbor ppermute strips (band-local "
+                         "matrices, collective bytes independent of n)")
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force the virtual CPU mesh")
     ap.add_argument("--out", default=None)
@@ -58,7 +59,7 @@ def main():
     import jax.numpy as jnp
 
     from sblas import datasets
-    from sblas.parallel import DistSpmvPlan, Dist2DSpmvPlan
+    from sblas.parallel import DistSpmvPlan, Dist2DSpmvPlan, HaloSpmvPlan
     from sblas.parallel.mesh import make_mesh, make_mesh2d
     from sblas.golden import spmv_golden, rel_err
     from sblas.utils.timing import measure_seconds_per_iter
@@ -87,6 +88,9 @@ def main():
                 r -= 1
             mesh = make_mesh2d(r, nc // r)
             plan = Dist2DSpmvPlan(a, mesh)
+        elif args.plan == "halo":
+            mesh = make_mesh(nc)
+            plan = HaloSpmvPlan(a, mesh)
         else:
             mesh = make_mesh(nc)
             plan = DistSpmvPlan(a, mesh, strategy="nnz_balanced")
@@ -98,7 +102,7 @@ def main():
             "chips": nc, "n": n, "nnz": a.nnz,
             "plan": args.plan,
             "rel_err": float(err),
-            "nnz_balance": float(plan.nnz_balance),
+            "nnz_balance": float(getattr(plan, "nnz_balance", 1.0)),
             "local_method": plan.local_method,
             "stream_bytes_per_chip": int(plan.bytes_per_iter // nc),
             "backend": jax.default_backend(),
@@ -111,6 +115,10 @@ def main():
             rec["grid"] = f"{R}x{C}"
             rec["psum_bytes_per_chip"] = int(
                 2 * (C - 1) / max(C, 1) * y_local * 4)
+        elif args.plan == "halo":
+            rec["halo"] = int(plan.halo)
+            rec["collective_bytes_per_chip"] = int(
+                plan.collective_bytes_per_chip)
         else:
             rec["x_gather_bytes_per_chip"] = int(
                 (plan.n_pad - plan.x_chunk) * 4)
