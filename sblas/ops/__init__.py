@@ -9,8 +9,6 @@ build and cache a plan per (matrix, op, flavor).
 
 from __future__ import annotations
 
-import weakref
-
 from .spmv import SpmvPlan, spmv
 from .spmm import SpmmPlan, spmm
 from .sptrsv import SptrsvPlan, sptrsv

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...formats import CSR
-from ...retile_pseg import pack_pseg, PSeg, SUBLANES, LANES, BLOCK_ROWS
+from ...retile_pseg import pack_pseg, SUBLANES, LANES
 
 _VMEM_X_LIMIT = 24 * (1 << 20)
 _VMEM_Y_LIMIT = 8 * (1 << 20)

@@ -19,7 +19,6 @@ widths, dynamic scheduling <-> heavy-row splitting).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +28,9 @@ from ..formats import CSR
 from ..retile import to_ell, to_bucket_ell
 from ..retile_bsr import pack_bsr
 
-_PLAN_CACHE: "weakref.WeakKeyDictionary" = None  # populated lazily
 import weakref
 
+# plan cache shared by all op entry points, keyed weakly on the matrix
 _PLAN_CACHE = weakref.WeakKeyDictionary()
 
 

@@ -13,8 +13,6 @@ ELLPACK geometry so they stack into one sharded (ndev, rows_pad, W) array.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,10 +25,8 @@ from ..partition import partition_rows, partition_nnz_split
 from ..retile import to_ell
 from .mesh import make_mesh, chips_axis
 
-
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
-
 
 def _stack_ell(parts, n, dtype):
     """Retile each part to ELL and pad to common (rows_pad, width)."""
@@ -44,7 +40,6 @@ def _stack_ell(parts, n, dtype):
         col[d, : e.col.shape[0], : e.width] = e.col
         val[d, : e.val.shape[0], : e.width] = e.val
     return col, val, rows_pad, width
-
 
 class DistSpmvPlan:
     """Partition + retile + shard_map executor for one matrix on one mesh.
@@ -399,7 +394,6 @@ class DistSpmvPlan:
             raise ValueError("beta != 0 requires y")
         return out
 
-
 class RingSpmvPlan:
     """Ring SpMV: x stays sharded; shards rotate around the ring with
     `ppermute` while each chip accumulates the matching column block's
@@ -508,7 +502,6 @@ class RingSpmvPlan:
         for col, val in self._per_offset:
             flat.extend([col, val])
         return self._run(x_pad, *flat)
-
 
 def dist_spmv(a: CSR, x, mesh: Mesh | None = None, *,
               strategy: str = "nnz_balanced", alpha: float = 1.0,

@@ -14,7 +14,6 @@ documented in SURVEY.md C9).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 
