@@ -14,7 +14,7 @@ identical code runs on a real v5e pod slice.
 
 from .mesh import make_mesh, make_mesh2d, chips_axis, rows_axis, cols_axis
 from .spmv_dist import DistSpmvPlan, RingSpmvPlan, dist_spmv
-from .spmv_halo import HaloSpmvPlan, halo_spmv
+from .spmv_halo import HaloSpmvPlan, HaloSpmmPlan, halo_spmv, halo_spmm
 from .spmv2d import Dist2DSpmvPlan, dist_spmv2d
 from .spmm2d import Dist2DSpmmPlan, dist_spmm2d
 from .spmm_dist import DistSpmmPlan, dist_spmm
@@ -24,7 +24,7 @@ from .sptrsm_dist import DistSptrsmPlan, dist_sptrsm
 __all__ = [
     "make_mesh", "make_mesh2d", "chips_axis", "rows_axis", "cols_axis",
     "DistSpmvPlan", "RingSpmvPlan", "dist_spmv",
-    "HaloSpmvPlan", "halo_spmv",
+    "HaloSpmvPlan", "halo_spmv", "HaloSpmmPlan", "halo_spmm",
     "Dist2DSpmvPlan", "dist_spmv2d",
     "Dist2DSpmmPlan", "dist_spmm2d",
     "DistSpmmPlan", "dist_spmm",

@@ -42,6 +42,52 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _halo_partition(a: CSR, ndev: int, max_halo_frac: float):
+    """Even row split + halo width + per-chip blocks in ext coordinates.
+
+    Returns (chunk, halo, blocks) or raises ValueError when the matrix is
+    not band-local enough."""
+    m, n = a.shape
+    chunk = _round_up(-(-n // ndev), 8)
+    row_starts = [min(d * chunk, n) for d in range(ndev + 1)]
+
+    halo = 0
+    parts = []
+    s_csr = a.to_scipy().tocsr()
+    for d in range(ndev):
+        r0, r1 = row_starts[d], row_starts[d + 1]
+        sub = s_csr[r0:r1]
+        parts.append(sub)
+        if sub.nnz:
+            lo = int(sub.indices.min())
+            hi = int(sub.indices.max())
+            halo = max(halo, d * chunk - lo if lo < d * chunk else 0,
+                       hi - (d * chunk + chunk - 1)
+                       if hi >= d * chunk + chunk else 0)
+    halo = _round_up(max(halo, 8), 8)
+    if halo > max_halo_frac * chunk:
+        raise ValueError(
+            f"halo {halo} exceeds {max_halo_frac:.0%} of the {chunk}-row "
+            "shard — matrix is not band-local; use DistSpmvPlan "
+            "(all_gather), the PSEG path, or the 2D plan"
+        )
+    if halo > chunk:
+        raise ValueError("halo wider than a shard; fewer chips or "
+                         "another plan")
+    ext = chunk + 2 * halo
+    blocks = []
+    for d in range(ndev):
+        sub = parts[d].tocoo()
+        base = d * chunk - halo
+        blocks.append(coo_to_csr(COO(
+            (parts[d].shape[0], ext),
+            sub.row.astype(np.int64),
+            sub.col.astype(np.int64) - base,
+            sub.data,
+        )).astype(a.dtype))
+    return chunk, halo, blocks
+
+
 class HaloSpmvPlan:
     """Row-partitioned SpMV with neighbor halo exchange (square A)."""
 
@@ -60,50 +106,12 @@ class HaloSpmvPlan:
 
         # even row split so the x shards are uniform (required for fixed
         # ppermute slab shapes); nnz balance is secondary here
-        chunk = _round_up(-(-n // ndev), 8)
+        chunk, halo, blocks = _halo_partition(a, ndev, max_halo_frac)
         self.x_chunk = chunk
         self.n_pad = chunk * ndev
-        row_starts = [min(d * chunk, n) for d in range(ndev + 1)]
-
-        # per-chip halo requirement
-        halo = 0
-        parts = []
-        s_csr = a.to_scipy().tocsr()
-        for d in range(ndev):
-            r0, r1 = row_starts[d], row_starts[d + 1]
-            sub = s_csr[r0:r1]
-            parts.append(sub)
-            if sub.nnz:
-                lo = int(sub.indices.min())
-                hi = int(sub.indices.max())
-                halo = max(halo, d * chunk - lo if lo < d * chunk else 0,
-                           hi - (d * chunk + chunk - 1)
-                           if hi >= d * chunk + chunk else 0)
-        halo = _round_up(max(halo, 8), 8)
-        if halo > max_halo_frac * chunk:
-            raise ValueError(
-                f"halo {halo} exceeds {max_halo_frac:.0%} of the {chunk}-row "
-                "shard — matrix is not band-local; use DistSpmvPlan "
-                "(all_gather), the PSEG path, or the 2D plan"
-            )
-        if halo > chunk:
-            raise ValueError("halo wider than a shard; fewer chips or "
-                             "another plan")
         self.halo = halo
         ext = chunk + 2 * halo
         self.ext = ext
-
-        # per-chip blocks with columns rebased to the extended window
-        blocks = []
-        for d in range(ndev):
-            sub = parts[d].tocoo()
-            base = d * chunk - halo
-            blocks.append(coo_to_csr(COO(
-                (parts[d].shape[0], ext),
-                sub.row.astype(np.int64),
-                sub.col.astype(np.int64) - base,
-                sub.data,
-            )).astype(a.dtype))
 
         sh = lambda spec: NamedSharding(self.mesh, spec)
         self.local_method = None
@@ -252,3 +260,91 @@ class HaloSpmvPlan:
 def halo_spmv(a: CSR, x, mesh: Mesh | None = None, **kw):
     """One-shot halo-exchange distributed SpMV."""
     return HaloSpmvPlan(a, mesh, **kw)(x)
+
+
+class HaloSpmmPlan:
+    """Row-partitioned SpMM with neighbor halo exchange: the dense RHS X
+    is row-sharded like x, the exchange moves two (H, k) slabs per chip —
+    still independent of n and chip count, now amortized over k columns of
+    arithmetic. Local compute is the XLA ELL einsum (the w-SELL SpMM
+    kernel slots in via the same wsell_stack recipe when profiles ask)."""
+
+    def __init__(self, a: CSR, mesh: Mesh | None = None, *,
+                 max_halo_frac: float = 0.5):
+        m, n = a.shape
+        if m != n:
+            raise ValueError("halo plan needs a square matrix")
+        self.mesh = mesh or make_mesh()
+        ndev = int(self.mesh.devices.size)
+        self.ndev = ndev
+        self.shape = a.shape
+        self.dtype = a.dtype
+        chunk, halo, blocks = _halo_partition(a, ndev, max_halo_frac)
+        self.x_chunk = chunk
+        self.n_pad = chunk * ndev
+        self.halo = halo
+
+        ells = [to_ell(b) for b in blocks]
+        width = max(max(e.width for e in ells), 1)
+        col = np.zeros((ndev, chunk, width), dtype=INDEX_DTYPE)
+        val = np.zeros((ndev, chunk, width), dtype=a.dtype)
+        for d, e in enumerate(ells):
+            col[d, : e.col.shape[0], : e.width] = e.col
+            val[d, : e.val.shape[0], : e.width] = e.val
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        self._col = jax.device_put(col, sh(P(chips_axis)))
+        self._val = jax.device_put(val, sh(P(chips_axis)))
+        self.bytes_per_iter = col.size * (a.data.itemsize + 4)
+        self.local_method = "ell"
+        self._x_sharding = sh(P(chips_axis, None))
+        self._build_fn()
+
+    def _build_fn(self):
+        ndev, halo = self.ndev, self.halo
+        n = self.shape[0]
+        fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+        bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+        def body(col, val, x_shard):
+            # x_shard: (chunk, k)
+            with jax.named_scope("collective"):
+                left = lax.ppermute(x_shard[-halo:], chips_axis, fwd)
+                right = lax.ppermute(x_shard[:halo], chips_axis, bwd)
+            x_ext = jnp.concatenate([left, x_shard, right])
+            with jax.named_scope("kernel"):
+                y = jnp.einsum("rw,rwk->rk", val[0], x_ext[col[0]])
+            return y[None]
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(chips_axis), P(chips_axis), P(chips_axis, None)),
+            out_specs=P(chips_axis, None, None),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(col, val, x_pad):
+            y = fn(col, val, x_pad)  # (ndev, chunk, k)
+            return y.reshape(-1, y.shape[-1])[:n]
+
+        self._run = run
+
+    def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
+        m, n = self.shape
+        x = jnp.asarray(x, dtype=self.dtype)
+        if x.ndim != 2 or x.shape[0] != n:
+            raise ValueError(f"X must have shape ({n}, k), got {x.shape}")
+        x_pad = jnp.zeros((self.n_pad, x.shape[1]),
+                          dtype=self.dtype).at[:n].set(x)
+        x_pad = jax.device_put(x_pad, self._x_sharding)
+        out = alpha * self._run(self._col, self._val, x_pad)
+        if y is not None:
+            out = out + beta * jnp.asarray(y, dtype=self.dtype)
+        elif beta != 0.0:
+            raise ValueError("beta != 0 requires y")
+        return out
+
+
+def halo_spmm(a: CSR, x, mesh: Mesh | None = None, **kw):
+    """One-shot halo-exchange distributed SpMM."""
+    return HaloSpmmPlan(a, mesh, **kw)(x)

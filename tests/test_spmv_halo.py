@@ -55,3 +55,23 @@ def test_halo_edge_chips_no_wraparound(mesh8):
     x = np.random.default_rng(3).standard_normal(801).astype(np.float32)
     p = HaloSpmvPlan(a, mesh8)
     assert rel_err(np.asarray(p(x)), spmv_golden(a, x)) < 1e-5
+
+
+def test_halo_spmm(mesh8):
+    from sblas.parallel import HaloSpmmPlan
+
+    a = datasets.poisson2d(80, dtype=np.float32)
+    x = np.random.default_rng(4).standard_normal((a.shape[0], 8)).astype(
+        np.float32)
+    p = HaloSpmmPlan(a, mesh8)
+    got = np.asarray(p(x))
+    assert got.shape == (a.shape[0], 8)
+    assert rel_err(got, spmv_golden(a, x)) < 1e-5
+
+
+def test_halo_spmm_refuses_scattered(mesh8):
+    from sblas.parallel import HaloSpmmPlan
+
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    with pytest.raises(ValueError, match="not band-local"):
+        HaloSpmmPlan(g, mesh8)
