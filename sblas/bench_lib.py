@@ -74,6 +74,13 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
 
         def step(x, arrs, x0):
             return x0 + _EPS * ps.apply_permuted(arrs, x)
+    elif plan.method == "rcm":
+        # same precedent: iterate in RCM-reordered space
+        x0 = x0[plan._rcm_perm]
+        extra["permutes"] = "amortized (rcm-reordered space)"
+
+        def step(x, arrs, x0):
+            return x0 + _EPS * plan.apply_permuted(arrs, x)
     else:
         def step(x, arrs, x0):
             return x0 + _EPS * plan.apply_pure(arrs, x)

@@ -111,6 +111,21 @@ class SpmvPlan:
             except ValueError:
                 if not auto:
                     raise
+                method = "rcm" if a.shape[0] == a.shape[1] else \
+                    self._xla_heuristic(a)
+        if method == "rcm":
+            # Band-local-but-scrambled matrices: neither w-SELL (window
+            # locality destroyed) nor PSEG (no hub structure) packs them,
+            # yet an RCM reordering restores FEM-class fill
+            # (sblas.reorder). Run the w-SELL kernel on P A P^T; the
+            # drop-in call pays two permutation gathers, apply_permuted
+            # is the zero-overhead iterative path (pseg precedent).
+            try:
+                self._init_rcm(a, value_dtype)
+                return
+            except ValueError:
+                if not auto:
+                    raise
                 method = self._xla_heuristic(a)
         self.method = method
         m, n = a.shape
@@ -152,6 +167,20 @@ class SpmvPlan:
         else:
             raise ValueError(f"unknown spmv method {method!r}")
 
+    def _init_rcm(self, a: CSR, value_dtype):
+        from .kernels.spmv_pallas import PallasSpmv
+        from ..reorder import rcm
+
+        ap, perm = rcm(a)
+        self._pallas = PallasSpmv(ap, value_dtype=value_dtype)
+        self._rcm_perm = jnp.asarray(perm.astype(np.int32))
+        inv = np.empty(len(perm), dtype=np.int64)
+        inv[perm] = np.arange(len(perm))
+        self._rcm_inv = jnp.asarray(inv.astype(np.int32))
+        self.method = "rcm"
+        self.fill = self._pallas.layout.fill
+        self.bytes_per_iter = self._pallas.bytes_per_iter
+
     @staticmethod
     def _xla_heuristic(a: CSR) -> str:
         deg = a.row_lengths
@@ -191,6 +220,11 @@ class SpmvPlan:
         if self.method == "bsr":
             return {"blocks": self._blocks, "brow": self._brow,
                     "bcol": self._bcol}
+        if self.method == "rcm":
+            d = dict(self._pallas.device_arrays())
+            d["rcm_perm"] = self._rcm_perm
+            d["rcm_inv"] = self._rcm_inv
+            return d
         return self._pallas.device_arrays()
 
     def apply_pure(self, arrs, x):
@@ -215,7 +249,25 @@ class SpmvPlan:
             y = jax.ops.segment_sum(partial, arrs["brow"],
                                     num_segments=meta.num_brows)
             return y.reshape(-1)[:m]
+        if self.method == "rcm":
+            # drop-in path: two XLA permutation gathers around the kernel
+            # (slow on TPU — iterative users should stay in permuted space
+            # via apply_permuted, as bench/pseg do)
+            kern = {k: v for k, v in arrs.items()
+                    if k not in ("rcm_perm", "rcm_inv")}
+            y_perm = self._pallas.apply_pure(kern, x[arrs["rcm_perm"]])
+            return y_perm[arrs["rcm_inv"]]
         return self._pallas.apply_pure(arrs, x)
+
+    def apply_permuted(self, arrs, x_perm):
+        """rcm/pseg fast path: operate in the plan's permuted space."""
+        if self.method == "rcm":
+            kern = {k: v for k, v in arrs.items()
+                    if k not in ("rcm_perm", "rcm_inv")}
+            return self._pallas.apply_pure(kern, x_perm)
+        if self.method == "pseg":
+            return self._pallas.apply_permuted(arrs, x_perm)
+        raise ValueError(f"method {self.method!r} has no permuted space")
 
     def apply_traced(self, x):
         """Pure y = A @ x inside jit. Convenience wrapper over apply_pure
@@ -243,6 +295,16 @@ class SpmvPlan:
                                 with_y)
         if self.method == "bsr":
             out = jax.jit(self.apply_traced)(x)
+            out = al.astype(out.dtype) * out
+            if with_y:
+                out = out + be.astype(out.dtype) * yv
+            return out
+        if self.method == "rcm":
+            # host-side permutes (XLA device gathers are slow on TPU)
+            perm = np.asarray(self._rcm_perm)
+            xp = jnp.asarray(np.asarray(x)[perm])
+            y_perm = np.asarray(self._pallas.apply_traced(xp))
+            out = jnp.asarray(y_perm[np.asarray(self._rcm_inv)])
             out = al.astype(out.dtype) * out
             if with_y:
                 out = out + be.astype(out.dtype) * yv

@@ -53,3 +53,40 @@ def test_rcm_rejects_rectangular():
     a = datasets.random_csr(10, 20, 3, seed=4, dtype=np.float32)
     with pytest.raises(ValueError):
         rcm(a)
+
+
+def test_spmv_auto_chain_rescues_scrambled_band():
+    """auto on a scrambled band: w-SELL refuses (fill), PSEG refuses (no
+    hubs), the rcm rescue packs it — instead of the old XLA fallthrough."""
+    import jax
+
+    from sblas.ops.spmv import SpmvPlan as SP
+    from sblas import ops
+
+    a = _scrambled_banded(n=8000)
+    plan = SP(a, "rcm")
+    assert plan.method == "rcm"
+    assert plan.fill > 0.3
+    x = np.random.default_rng(5).standard_normal(8000).astype(np.float32)
+    # drop-in __call__
+    y = np.asarray(plan(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-4
+    # jit-composable apply_pure
+    arrs = plan.device_arrays()
+    y2 = np.asarray(jax.jit(plan.apply_pure)(arrs, x))
+    assert rel_err(y2, spmv_golden(a, x)) < 1e-4
+    # permuted-space fast path round-trips
+    perm = np.asarray(plan._rcm_perm)
+    yp = np.asarray(jax.jit(plan.apply_permuted)(arrs, x[perm]))
+    assert rel_err(yp[np.asarray(plan._rcm_inv)], spmv_golden(a, x)) < 1e-4
+
+
+def test_spmv_alpha_beta_rcm():
+    a = _scrambled_banded(n=4000, seed=8)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(4000).astype(np.float32)
+    y0 = rng.standard_normal(4000).astype(np.float32)
+    from sblas.ops.spmv import SpmvPlan as SP
+
+    out = np.asarray(SP(a, "rcm")(x, alpha=1.5, beta=0.25, y=y0))
+    assert rel_err(out, spmv_golden(a, x, alpha=1.5, beta=0.25, y=y0)) < 1e-4
