@@ -437,3 +437,38 @@ extern "C" int64_t sblas_pack_pseg_f32(
   *n_strag_out = nstrag;
   return nrounds;
 }
+
+// IC(0): incomplete Cholesky on the pattern of tril(A), in place.
+// Input: CSR of tril(A) (columns ascending, diagonal present as the last
+// entry of each row), values overwritten with L such that L L^T ~= A.
+// Returns 0, or (i+1) if the pivot of row i was non-positive (breakdown —
+// caller may shift the diagonal and retry).
+extern "C" int64_t sblas_ic0_f64(const int32_t* indptr,
+                                 const int32_t* indices,
+                                 double* data, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t p0 = indptr[i], p1 = indptr[i + 1];
+    // columns ascending; diagonal last
+    for (int32_t p = p0; p < p1 - 1; ++p) {
+      const int32_t k = indices[p];
+      // dot of row i prefix [p0, p) with row k's sub-diagonal part,
+      // two-pointer merge over sorted columns
+      double dot = 0.0;
+      const int32_t k0 = indptr[k], k1 = indptr[k + 1] - 1;  // excl diag
+      int32_t a = p0, b = k0;
+      while (a < p && b < k1) {
+        const int32_t ca = indices[a], cb = indices[b];
+        if (ca == cb) { dot += data[a] * data[b]; ++a; ++b; }
+        else if (ca < cb) ++a;
+        else ++b;
+      }
+      const double lkk = data[indptr[k + 1] - 1];
+      data[p] = (data[p] - dot) / lkk;
+    }
+    double diag = data[p1 - 1];
+    for (int32_t p = p0; p < p1 - 1; ++p) diag -= data[p] * data[p];
+    if (!(diag > 0.0)) return i + 1;
+    data[p1 - 1] = sqrt(diag);
+  }
+  return 0;
+}

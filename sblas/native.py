@@ -80,6 +80,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
         f32p, i32p, i32p, i32p, i32p, i64p, i64p,
     ]
+    lib.sblas_ic0_f64.restype = ctypes.c_int64
+    lib.sblas_ic0_f64.argtypes = [i32p, i32p, f64p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -198,6 +200,20 @@ def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
     if n < 0:
         raise RuntimeError("w-SELL packer under-allocated (bug)")
     return int(n), val[: n * 8], lcol[: n * 8], wrow[:n], obase[:n]
+
+
+def ic0_inplace(indptr, indices, data64) -> int:
+    """Native IC(0) over the tril(A) CSR values (sorted cols, diag last in
+    each row). Returns 0, or i+1 on a non-positive pivot at row i.
+    Returns -1 when no native library is available (caller falls back)."""
+    lib = _build_and_load()
+    if lib is None:
+        return -1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    assert data64.dtype == np.float64 and data64.flags.c_contiguous
+    return int(lib.sblas_ic0_f64(_as_i32p(indptr), _as_i32p(indices),
+                                 _as_f64p(data64), len(indptr) - 1))
 
 
 def pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s, divert_below):

@@ -84,3 +84,59 @@ def test_bicgstab_with_jacobi():
     _, pre = solvers.bicgstab(a, b, tol=1e-4, maxiter=3000,
                               M=solvers.jacobi(a))
     assert pre["rel_residual"] < 1e-4
+
+
+def test_ichol_pcg_beats_plain_cg():
+    a = datasets.poisson2d(48, dtype=np.float32)
+    b = np.random.default_rng(10).standard_normal(a.shape[0]).astype(
+        np.float32)
+    _, plain = solvers.cg(a, b, tol=1e-5, maxiter=2000)
+    _, ic = solvers.cg(a, b, tol=1e-5, maxiter=2000, M=solvers.ichol(a))
+    assert ic["rel_residual"] < 1e-5
+    assert ic["iterations"] < plain["iterations"] / 2
+
+
+def test_ic0_native_matches_numpy():
+    from sblas import formats, native
+
+    a = datasets.spd_diag_dominant(400, 6, seed=11, dtype=np.float64)
+    lo = formats.tril(a)
+    v1 = lo.data.astype(np.float64).copy()
+    v2 = lo.data.astype(np.float64).copy()
+    rc1 = native.ic0_inplace(lo.indptr, lo.indices, v1)
+    rc2 = solvers._ic0_numpy(lo.indptr, lo.indices, v2)
+    assert rc1 == rc2 == 0 or rc1 == -1  # -1 = no toolchain
+    if rc1 == 0:
+        np.testing.assert_allclose(v1, v2, rtol=1e-13)
+
+
+def test_ichol_factor_quality():
+    """L L^T must reproduce A on A's own pattern (IC(0) contract)."""
+    from sblas import formats
+
+    a = datasets.spd_diag_dominant(300, 5, seed=12, dtype=np.float64)
+    arrs, apply = solvers.ichol(a)
+    # solve M z = r exactly equals scipy with the explicit factor
+    import scipy.sparse as sp
+
+    r = np.random.default_rng(13).standard_normal(300)
+    z = np.asarray(apply(arrs, np.asarray(r)))
+    # z should satisfy: applying M to z gives back r
+    lo = formats.tril(a)
+    vals = lo.data.astype(np.float64).copy()
+    assert solvers._ic0_numpy(lo.indptr, lo.indices, vals) == 0
+    L = sp.csr_matrix((vals, lo.indices, lo.indptr), shape=lo.shape)
+    back = L @ (L.T @ z)
+    np.testing.assert_allclose(back, r, rtol=1e-4, atol=1e-6)
+
+
+def test_ichol_requires_diagonal():
+    import pytest as _pytest
+
+    from sblas.formats import CSR
+
+    # matrix with a missing diagonal entry
+    a = CSR((3, 3), np.array([0, 1, 2, 3]), np.array([0, 0, 2]),
+            np.array([2.0, 1.0, 2.0], dtype=np.float32))
+    with _pytest.raises(ValueError, match="diagonal"):
+        solvers.ichol(a)
