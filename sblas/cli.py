@@ -131,6 +131,14 @@ def main(argv=None):
                     help="use the 2D plan on an RxC mesh (e.g. 2x4): x "
                          "sharded over cols + psum, no all_gather")
 
+    sp = sub.add_parser("solve")
+    common(sp)
+    sp.add_argument("--solver", default="cg", choices=["cg", "bicgstab"])
+    sp.add_argument("--precond", default="none",
+                    choices=["none", "jacobi", "ichol"])
+    sp.add_argument("--tol", type=float, default=1e-6)
+    sp.add_argument("--maxiter", type=int, default=2000)
+
     sp = sub.add_parser("stream")
     sp.add_argument("--json", default=None)
 
@@ -174,6 +182,34 @@ def main(argv=None):
                 mat, validate=validate, iters=args.iters,
                 compare_reference=args.compare_reference,
                 tile_rows=args.tile_rows)
+        elif args.cmd == "solve":
+            import time as _time
+
+            from . import solvers
+            from .golden import rel_err as _rel_err
+
+            rng = np.random.default_rng(0)
+            b = rng.standard_normal(mat.shape[0]).astype(mat.dtype)
+            M = {"none": None,
+                 "jacobi": lambda: solvers.jacobi(mat),
+                 "ichol": lambda: solvers.ichol(mat)}[args.precond]
+            M = M() if M else None
+            fn = solvers.cg if args.solver == "cg" else solvers.bicgstab
+            fn(mat, b, tol=args.tol, maxiter=2, M=M)  # compile warmup
+            t0 = _time.perf_counter()
+            x, info = fn(mat, b, tol=args.tol, maxiter=args.maxiter, M=M)
+            dt = _time.perf_counter() - t0
+            err = float(np.linalg.norm(
+                mat.to_scipy() @ np.asarray(x, dtype=np.float64)
+                - b.astype(np.float64)) / np.linalg.norm(b))
+            rec = BenchRecord(
+                name=f"{args.solver}_{args.precond}",
+                seconds_per_iter=dt / max(info["iterations"], 1),
+                flops=2.0 * mat.nnz * info["iterations"],
+                extra={"iterations": info["iterations"],
+                       "rel_residual": info["rel_residual"],
+                       "true_rel_err": err, "solve_seconds": dt},
+            )
         elif args.cmd == "sptrsm":
             rec = bench_lib.bench_sptrsm(mat, args.k, validate=validate,
                                          iters=args.iters)

@@ -66,3 +66,13 @@ def test_cli_dist_spmv_2d(tmp_path):
     rec = json.loads(out.read_text().strip())
     assert rec["name"] == "dist_spmv2d_2x4"
     assert rec["rel_err"] < 1e-5
+
+
+def test_cli_solve(tmp_path):
+    out = tmp_path / "r.json"
+    rc = main(["solve", "--matrix", "poisson:24", "--precond", "ichol",
+               "--tol", "1e-5", "--json", str(out)])
+    assert rc == 0
+    rec = json.loads(out.read_text().strip())
+    assert rec["name"] == "cg_ichol"
+    assert rec["true_rel_err"] < 1e-4
