@@ -97,6 +97,13 @@ def main():
     x, it, res = cg(a, b, tol=1e-5, m_solve=ssor_preconditioner(a))
     print(f"CG + SSOR   : {it:4d} iterations, rel residual {res:.2e}")
 
+    # the library's jitted solvers (one lax.while_loop, IC(0) precond):
+    from sblas import solvers
+
+    xj, info = solvers.cg(a, b, tol=1e-5, M=solvers.ichol(a))
+    print(f"jit CG+IC(0): {info['iterations']:4d} iterations, "
+          f"rel residual {info['rel_residual']:.2e}")
+
     err = np.linalg.norm(a.to_scipy() @ x - b) / np.linalg.norm(b)
     print(f"check       : ||Ax-b||/||b|| = {err:.2e}")
 

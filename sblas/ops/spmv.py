@@ -204,6 +204,13 @@ class SpmvPlan:
                 pass
         return SpmvPlan._xla_heuristic(a)
 
+    def __repr__(self):
+        m, n = self.shape
+        fill = getattr(self, "fill", None)
+        fs = f", fill={fill:.2f}" if fill is not None else ""
+        return (f"SpmvPlan({m}x{n}, nnz={self.nnz}, method={self.method!r}"
+                f"{fs}, ~{self.bytes_per_iter / 1e6:.1f} MB/iter)")
+
     def device_arrays(self):
         """Pytree of this plan's device-resident arrays.
 
