@@ -87,3 +87,44 @@ def test_wsell_native_matches_python(seed):
     np.testing.assert_allclose(wsell_to_dense(w_native),
                                wsell_to_dense(w_py).astype(np.float32),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pseg_pack_random_roundtrip(seed):
+    """PSEG (native or python builder) must reconstruct the matrix exactly,
+    including stragglers, for arbitrary random structure."""
+    from sblas.retile_pseg import pack_pseg, pseg_to_dense
+
+    rng = np.random.default_rng(100 + seed)
+    m = int(rng.integers(1, 600))
+    n = int(rng.integers(1, 600))
+    nnz = int(rng.integers(0, max(m * n // 6, 1)))
+    coo = COO((m, n), rng.integers(0, m, nnz), rng.integers(0, n, nnz),
+              rng.standard_normal(nnz).astype(np.float32))
+    a = coo_to_csr(coo).astype(np.float32)
+    w = pack_pseg(a, cache=False, divert_below=int(rng.integers(0, 64)))
+    np.testing.assert_allclose(
+        pseg_to_dense(w)[: a.shape[0], : a.shape[1]],
+        a.to_scipy().toarray(), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_trans_csc_algebra_random(seed):
+    """spmv over {CSR, CSC} x {trans, no-trans} all agree with scipy."""
+    from sblas.formats import coo_to_csc
+    from sblas.ops import spmv
+
+    rng = np.random.default_rng(200 + seed)
+    m = int(rng.integers(2, 300))
+    n = int(rng.integers(2, 300))
+    nnz = int(rng.integers(1, max(m * n // 5, 2)))
+    coo = COO((m, n), rng.integers(0, m, nnz), rng.integers(0, n, nnz),
+              rng.standard_normal(nnz).astype(np.float32))
+    a = coo_to_csr(coo).astype(np.float32)
+    c = coo_to_csc(a.tocoo())
+    s = a.to_scipy().astype(np.float64)
+    x = rng.standard_normal(n).astype(np.float32)
+    xt = rng.standard_normal(m).astype(np.float32)
+    for mat in (a, c):
+        assert rel_err(np.asarray(spmv(mat, x)), s @ x) < 1e-4
+        assert rel_err(np.asarray(spmv(mat, xt, trans=True)), s.T @ xt) < 1e-4
