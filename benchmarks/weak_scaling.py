@@ -124,13 +124,19 @@ def main():
                 (plan.n_pad - plan.x_chunk) * 4)
         if not correctness_only:
             # real pod: measure per-chip bandwidth
+            xm = x
             if plan.local_method == "pallas":
                 run, arrs = plan._run_pallas, (plan._wr, plan._ob,
                                                plan._val, plan._lcol)
+            elif plan.local_method == "pseg":
+                run = plan._run_pseg
+                arrs = (plan._pwr, plan._pob, plan._pval, plan._plcol,
+                        plan._ptsb, plan._psrow, plan._pscol, plan._psval)
+                xm = np.asarray(x)[plan._pseg_colperm]
             else:
                 run, arrs = plan._run, (plan._col, plan._val)
             x_pad0 = jnp.zeros(plan.n_pad,
-                               jnp.float32).at[:n].set(jnp.asarray(x))
+                               jnp.float32).at[:n].set(jnp.asarray(xm))
             x_pad0 = jax.device_put(x_pad0, plan._x_sharding)
 
             def step(xp, *rest):

@@ -328,6 +328,14 @@ def bench_dist_spmv(a: CSR, mesh=None, *, strategy: str = "nnz_balanced",
     if plan.local_method == "pallas":
         run = plan._run_pallas
         arrs = (plan._wr, plan._ob, plan._val, plan._lcol)
+    elif plan.local_method == "pseg":
+        # scattered dist fast path: iterate in hub-relabeled space (the
+        # plan's __call__ permutes x host-side before padding)
+        run = plan._run_pseg
+        arrs = (plan._pwr, plan._pob, plan._pval, plan._plcol, plan._ptsb,
+                plan._psrow, plan._pscol, plan._psval)
+        x0 = jnp.asarray(np.asarray(x0)[plan._pseg_colperm])
+        extra["permutes"] = "amortized (hub-relabeled space)"
     else:
         run = plan._run
         arrs = (plan._col, plan._val)

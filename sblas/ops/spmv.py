@@ -307,11 +307,17 @@ class SpmvPlan:
                 out = out + be.astype(out.dtype) * yv
             return out
         if self.method == "rcm":
-            # host-side permutes (XLA device gathers are slow on TPU)
-            perm = np.asarray(self._rcm_perm)
-            xp = jnp.asarray(np.asarray(x)[perm])
-            y_perm = np.asarray(self._pallas.apply_traced(xp))
-            out = jnp.asarray(y_perm[np.asarray(self._rcm_inv)])
+            if isinstance(x, jax.core.Tracer):
+                # inside jit: device-side permutation gathers (correct
+                # everywhere, slow on TPU — prefer apply_permuted there)
+                out = self.apply_pure(self.device_arrays(), x)
+            else:
+                # eager: host-side permutes (XLA device gathers are ~1
+                # GB/s on TPU)
+                perm = np.asarray(self._rcm_perm)
+                xp = jnp.asarray(np.asarray(x)[perm])
+                y_perm = np.asarray(self._pallas.apply_traced(xp))
+                out = jnp.asarray(y_perm[np.asarray(self._rcm_inv)])
             out = al.astype(out.dtype) * out
             if with_y:
                 out = out + be.astype(out.dtype) * yv

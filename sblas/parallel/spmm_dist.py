@@ -127,7 +127,12 @@ class DistSpmmPlan:
         self._unpad = jnp.asarray(slot.astype(np.int32))
         self._col = jax.device_put(col, self._sh(P(chips_axis)))
         self._val = jax.device_put(val, self._sh(P(chips_axis)))
-        self.bytes_per_iter_nx = col.size * (dtype.itemsize + 4)
+        self._ell_bytes_nx = col.size * (dtype.itemsize + 4)
+        if self.local_method in (None, "ell"):
+            # primary ELL path (local_method set right after this call);
+            # when this build is only the lazy large-k fallback of a
+            # pallas/pseg plan, don't clobber that plan's stream model
+            self.bytes_per_iter_nx = self._ell_bytes_nx
         self._ell_built = True
 
     def _pallas_fits(self, k: int) -> bool:

@@ -90,7 +90,7 @@ def pack_pseg(a: CSR, *, th: int = 256, divert_below: int = 128,
 
     if (cache and plan_cache.cache_enabled()
             and a.nnz >= plan_cache.MIN_CACHE_NNZ):
-        params = {"th": th, "divert": divert_below, "v": 1}
+        params = {"th": th, "divert": divert_below, "v": 2}
 
         def build():
             w = _pack_pseg_impl(a, th=th, divert_below=divert_below)
@@ -133,7 +133,11 @@ def _pack_pseg_impl(a: CSR, *, th: int, divert_below: int) -> PSeg:
     blk_s, tl_s, ts_s = blk[order], tl[order], ts[order]
     pan_s, col_s, val_s = panel[order], cols[order], data[order]
 
-    num_blocks = int(blk.max(initial=0)) + 1 if a.nnz else 1
+    # y2d must cover ALL m rows, not just blocks with nnz: trailing empty
+    # rows (common after degree sorting) otherwise have no y slot, and the
+    # unpermute gather clamps them onto the last nonempty row's value
+    # (silent corruption — caught by round-2 code review).
+    num_blocks = max(-(-m // BLOCK_ROWS), 1)
 
     # native C++ round builder (one linear pass; the python greedy below is
     # ~1 us/nnz, which matters at web-graph scale)

@@ -43,9 +43,8 @@ def jacobi(a: CSR):
     return inv, apply
 
 
-@functools.partial(jax.jit, static_argnames=("apply_a", "apply_m",
-                                             "maxiter"))
-def _cg_loop(arrs_a, arrs_m, b, x0, tol, apply_a, apply_m, maxiter):
+@functools.partial(jax.jit, static_argnames=("apply_a", "apply_m"))
+def _cg_loop(arrs_a, arrs_m, b, x0, tol, maxiter, apply_a, apply_m):
     bnorm = jnp.linalg.norm(b)
     r0 = b - apply_a(arrs_a, x0)
     z0 = apply_m(arrs_m, r0) if apply_m else r0
@@ -146,9 +145,8 @@ def _ic0_numpy(indptr, indices, vals) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("apply_a", "apply_m",
-                                             "maxiter"))
-def _bicgstab_loop(arrs_a, arrs_m, b, x0, tol, apply_a, apply_m, maxiter):
+@functools.partial(jax.jit, static_argnames=("apply_a", "apply_m"))
+def _bicgstab_loop(arrs_a, arrs_m, b, x0, tol, maxiter, apply_a, apply_m):
     bnorm = jnp.linalg.norm(b)
     r0 = b - apply_a(arrs_a, x0)
     rhat = r0
@@ -193,7 +191,8 @@ def bicgstab(a, b, *, tol: float = 1e-6, maxiter: int = 1000, M=None,
     x, it, res = _bicgstab_loop(
         plan.device_arrays(), arrs_m, b, x0,
         jnp.asarray(tol, dtype=plan.dtype),
-        plan.apply_pure, apply_m, maxiter,
+        jnp.asarray(maxiter, jnp.int32),
+        apply_a=plan.apply_pure, apply_m=apply_m,
     )
     return x, {"iterations": int(it), "rel_residual": float(res)}
 
@@ -213,9 +212,12 @@ def cg(a, b, *, tol: float = 1e-6, maxiter: int = 1000, M=None, x0=None,
     x0 = (jnp.zeros(n, dtype=plan.dtype) if x0 is None
           else jnp.asarray(x0, dtype=plan.dtype))
     arrs_m, apply_m = (None, None) if M is None else M
+    # maxiter is a traced operand (only bounds the while_loop condition):
+    # changing it must not trigger a recompile
     x, it, res = _cg_loop(
         plan.device_arrays(), arrs_m, b, x0,
         jnp.asarray(tol, dtype=plan.dtype),
-        plan.apply_pure, apply_m, maxiter,
+        jnp.asarray(maxiter, jnp.int32),
+        apply_a=plan.apply_pure, apply_m=apply_m,
     )
     return x, {"iterations": int(it), "rel_residual": float(res)}

@@ -193,3 +193,31 @@ def test_dist_sptrsm(mesh8):
     # per-column agreement with the 1-RHS dist solve
     x0 = np.asarray(DistSptrsvPlan(l, mesh8)(b[:, 0]))
     np.testing.assert_allclose(x[:, 0], x0, rtol=1e-5, atol=1e-6)
+
+
+def test_bench_dist_spmv_pseg_local(mesh8):
+    """Regression (r2 review): bench_dist_spmv crashed with AttributeError
+    when the plan auto-selected the pseg local method."""
+    from sblas.bench_lib import bench_dist_spmv
+
+    g = datasets.emulate("uk-2002", scale=0.005, dtype=np.float32)
+    rec = bench_dist_spmv(g, mesh8, iters=2)
+    assert rec.extra["local_method"] == "pseg"
+    assert rec.extra["rel_err"] < 1e-4
+
+
+def test_dist_pseg_trailing_empty_rows(mesh8):
+    """Regression: per-shard PSEG y regions must cover every shard row."""
+    from sblas.formats import COO, coo_to_csr
+
+    rng = np.random.default_rng(30)
+    m = 2600                       # shards of 325 rows; some nearly empty
+    rows = rng.integers(0, 900, 9000)
+    cols = rng.integers(0, m, 9000)
+    a = coo_to_csr(COO((m, m), rows, cols,
+                       rng.standard_normal(9000).astype(np.float32)))
+    p = DistSpmvPlan(a.astype(np.float32), mesh8, local_method="pseg",
+                     min_fill=0.0)
+    x = rng.standard_normal(m).astype(np.float32)
+    y = np.asarray(p(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-4

@@ -139,3 +139,42 @@ def test_pseg_layout_roundtrip():
     w = pack_pseg(a, cache=False)
     np.testing.assert_allclose(pseg_to_dense(w), a.to_scipy().toarray(),
                                rtol=0, atol=0)
+
+
+def test_pseg_trailing_empty_rows():
+    """Regression (r2 review): rows after the last nonempty 1024-block had
+    no y slot; the unpermute gather clamped them onto the last nonempty
+    row's value."""
+    from sblas.formats import COO, coo_to_csr
+    from sblas.ops.kernels.spmv_pseg import PallasSpmvScattered
+
+    rng = np.random.default_rng(0)
+    m, n = 1500, 800
+    rows = rng.integers(0, 1024, 30000)       # rows >= 1024 all empty
+    cols = rng.integers(0, n, 30000)
+    a = coo_to_csr(COO((m, n), rows, cols,
+                       rng.standard_normal(30000).astype(np.float32)))
+    p = PallasSpmvScattered(a.astype(np.float32), min_fill=0.0)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(p.apply_traced(x))
+    assert np.all(y[1024:] == 0.0)
+    assert rel_err(y, spmv_golden(a, x)) < 1e-4
+
+
+def test_rcm_plan_call_inside_jit():
+    """Regression (r2 review): rcm __call__ used np.asarray on the traced
+    input — data-dependent jit breakage under method='auto'."""
+    import jax
+
+    from sblas.formats import CSR
+
+    base = datasets.random_csr(2000, 2000, 40, bandwidth=60, seed=21,
+                               dtype=np.float32)
+    p_ = np.random.default_rng(22).permutation(2000)
+    s = base.to_scipy().tocsr()[p_][:, p_].tocsr()
+    s.sort_indices()
+    a = CSR.from_scipy(s).astype(np.float32)
+    plan = SpmvPlan(a, "rcm")
+    x = np.random.default_rng(23).standard_normal(2000).astype(np.float32)
+    y = np.asarray(jax.jit(lambda v: plan(v))(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-4
