@@ -83,22 +83,10 @@ class DistSpmmPlan:
         self._runs = {}
 
     def _init_pseg(self, a, part, sh):
-        from .wsell_stack import stack_pseg
-        from ..formats import CSR as _CSR
+        from .wsell_stack import hub_stack_pseg
 
-        m, n = self.shape
-        pop = np.bincount(a.indices, minlength=n)
-        colperm = np.argsort(-pop, kind="stable").astype(np.int64)
-        s = a.to_scipy().tocsr()[:, colperm].tocsr()
-        s.sort_indices()
-        ap = _CSR.from_scipy(s).astype(a.dtype)
-        row_starts = self._row_starts
-        parts_p = [
-            _CSR.from_scipy(s[row_starts[d]:row_starts[d + 1]])
-            for d in range(self.ndev)
-        ]
-        st = stack_pseg(ap, parts_p, row_starts, self.n_pad,
-                        min_fill=self._min_fill)
+        st, colperm = hub_stack_pseg(a, self._row_starts, self.n_pad,
+                                     min_fill=self._min_fill)
         self._psk = st
         self._pseg_colperm = colperm
         self.bytes_per_iter_nx = st.bytes_per_iter * self.ndev

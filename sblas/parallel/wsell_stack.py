@@ -99,6 +99,24 @@ def stack_wsell(parts: list[CSR], n_pad: int, dtype, *, th: int = 1024,
     )
 
 
+def hub_stack_pseg(a: CSR, row_starts: list[int], n_pad: int, *,
+                   min_fill: float, th: int = 256):
+    """Global hub relabel + row re-partition + stack (shared by the 1D
+    dist SpMV and SpMM plans). Returns (StackedPSeg, colperm)."""
+    pop = np.bincount(a.indices, minlength=a.shape[1])
+    colperm = np.argsort(-pop, kind="stable").astype(np.int64)
+    s = a.to_scipy().tocsr()[:, colperm].tocsr()
+    s.sort_indices()
+    ap = CSR.from_scipy(s).astype(a.dtype)
+    parts_p = [
+        CSR.from_scipy(s[row_starts[d]:row_starts[d + 1]])
+        for d in range(len(row_starts) - 1)
+    ]
+    st = stack_pseg(ap, parts_p, row_starts, n_pad, th=th,
+                    min_fill=min_fill)
+    return st, colperm
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class StackedPSeg:
     ndev: int
