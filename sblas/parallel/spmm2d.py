@@ -22,7 +22,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..formats import CSR, COO, INDEX_DTYPE, coo_to_csr
+from ..formats import CSR, INDEX_DTYPE
 from ..partition import partition_rows
 from ..retile import to_ell
 from .mesh import make_mesh2d, rows_axis, cols_axis
@@ -53,16 +53,10 @@ class Dist2DSpmmPlan:
         part = partition_rows(a, R, "nnz_balanced")
         row_starts = [int(r) for r in part.row_starts]
 
-        ells = []
-        for p in part.parts:
-            coo = p.tocoo()
-            for j in range(C):
-                c0 = j * self.x_chunk
-                sel = (coo.col >= c0) & (coo.col < c0 + self.x_chunk)
-                ells.append(to_ell(coo_to_csr(COO(
-                    (p.shape[0], self.x_chunk),
-                    coo.row[sel], coo.col[sel] - c0, coo.data[sel],
-                ))))
+        from .wsell_stack import split_2d_blocks
+
+        ells = [to_ell(b)
+                for b in split_2d_blocks(part.parts, self.x_chunk, C)]
         width = max(max(e.width for e in ells), 1)
         rows_pad = max(_round_up(max(e.m, 1), 8) for e in ells)
         col = np.zeros((R, C, rows_pad, width), dtype=INDEX_DTYPE)

@@ -31,7 +31,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..formats import CSR, COO, INDEX_DTYPE, coo_to_csr
+from ..formats import CSR, INDEX_DTYPE
 from ..partition import partition_rows
 from ..retile import to_ell
 from .mesh import make_mesh2d, rows_axis, cols_axis
@@ -67,16 +67,9 @@ class Dist2DSpmvPlan:
         self._row_starts = row_starts
 
         # block (i, j): rows_i x [j*x_chunk, (j+1)*x_chunk), local col idx
-        blocks: list[CSR] = []
-        for p in part.parts:
-            coo = p.tocoo()
-            for j in range(C):
-                c0 = j * self.x_chunk
-                sel = (coo.col >= c0) & (coo.col < c0 + self.x_chunk)
-                blocks.append(coo_to_csr(COO(
-                    (p.shape[0], self.x_chunk),
-                    coo.row[sel], coo.col[sel] - c0, coo.data[sel],
-                )))
+        from .wsell_stack import split_2d_blocks
+
+        blocks = split_2d_blocks(part.parts, self.x_chunk, C)
 
         sh = lambda spec: NamedSharding(self.mesh, spec)
         self.local_method = None

@@ -219,3 +219,22 @@ def stack_pseg(a: CSR, parts: list[CSR], row_starts: list[int], n_pad: int,
         rowperm_inv=rowperm_inv, fill=fill,
         bytes_per_iter=T * th * LANES * 8 + S * 12,
     )
+
+
+def split_2d_blocks(parts, n_chunk: int, ncols: int):
+    """Split each row-partition part into ``ncols`` column blocks of width
+    ``n_chunk`` with chunk-local column indices (shared by the 2D plans).
+    Returns the R*C blocks in row-major (i*C + j) order."""
+    from ..formats import COO, coo_to_csr
+
+    blocks = []
+    for p in parts:
+        coo = p.tocoo()
+        for j in range(ncols):
+            c0 = j * n_chunk
+            sel = (coo.col >= c0) & (coo.col < c0 + n_chunk)
+            blocks.append(coo_to_csr(COO(
+                (p.shape[0], n_chunk),
+                coo.row[sel], coo.col[sel] - c0, coo.data[sel],
+            )))
+    return blocks
