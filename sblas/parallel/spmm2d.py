@@ -7,10 +7,11 @@ single collective is a psum of the (m/R, k) partial Y over 'cols'. For K
 RHS columns the 2D layout's advantage over the 1D all_gather grows K-fold:
 1D must replicate the full (n, k) X per chip, 2D moves only ~2·(m/R)·k.
 
-Local compute is the XLA ELL einsum per block. (The w-SELL SpMM Pallas
-kernel needs X resident in VMEM as a (n_chunk, k) table; wiring it here
-follows the same wsell_stack recipe as spmv2d and is worthwhile once the
-ELL body shows up in profiles — the collective structure is identical.)
+Local compute: the w-SELL Pallas SpMM kernel over the chip's X chunk
+(stacked to a common geometry via wsell_stack, staged as Xt[k, rows, 128]
+in VMEM) whenever the blocks are Pallas-servable and k fits VMEM;
+otherwise the XLA ELL einsum. The choice is per-k at call time —
+``local_method`` records the construction-time layout.
 """
 
 from __future__ import annotations
@@ -35,7 +36,9 @@ def _round_up(x, m):
 class Dist2DSpmmPlan:
     """Partition + retile + shard_map SpMM executor over a 2D mesh."""
 
-    def __init__(self, a: CSR, mesh: Mesh | None = None):
+    def __init__(self, a: CSR, mesh: Mesh | None = None, *,
+                 local_method: str = "auto", min_fill: float = 0.2,
+                 th: int = 1024):
         self.mesh = mesh or make_mesh2d()
         if self.mesh.axis_names != (rows_axis, cols_axis):
             raise ValueError(
@@ -47,16 +50,22 @@ class Dist2DSpmmPlan:
         self.shape = a.shape
         self.dtype = a.dtype
         m, n = a.shape
-        self.x_chunk = _round_up(max(-(-n // C), 1), 8)
+        self.x_chunk = _round_up(max(-(-n // C), 1), 128)
         self.n_pad = self.x_chunk * C
 
         part = partition_rows(a, R, "nnz_balanced")
+        self.nnz_balance = part.balance()
         row_starts = [int(r) for r in part.row_starts]
+        self._row_starts = row_starts
 
         from .wsell_stack import split_2d_blocks
 
-        ells = [to_ell(b)
-                for b in split_2d_blocks(part.parts, self.x_chunk, C)]
+        blocks = split_2d_blocks(part.parts, self.x_chunk, C)
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        self._sh = sh
+
+        # ELL layout (always built: the per-k VMEM fallback)
+        ells = [to_ell(b) for b in blocks]
         width = max(max(e.width for e in ells), 1)
         rows_pad = max(_round_up(max(e.m, 1), 8) for e in ells)
         col = np.zeros((R, C, rows_pad, width), dtype=INDEX_DTYPE)
@@ -67,21 +76,46 @@ class Dist2DSpmmPlan:
                 col[i, j, : e.col.shape[0], : e.width] = e.col
                 val[i, j, : e.val.shape[0], : e.width] = e.val
         self.rows_pad = rows_pad
-        sh = lambda spec: NamedSharding(self.mesh, spec)
         self._col = jax.device_put(col, sh(P(rows_axis, cols_axis)))
-        self._val = jax.device_put(val, sh(P(rows_axis, cols_axis)))
+        self._val_ell = jax.device_put(val, sh(P(rows_axis, cols_axis)))
         self.bytes_per_iter = col.size * (a.data.itemsize + 4)
         self.local_method = "ell"
+        self._ell_unpad = self._make_unpad(rows_pad)
 
-        slot = np.empty(m, dtype=np.int64)
-        for i in range(R):
-            r0, r1 = row_starts[i], row_starts[i + 1]
-            slot[r0:r1] = i * rows_pad + np.arange(r1 - r0)
-        self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+        # w-SELL layout for the Pallas body (same stack as spmv2d)
+        self._stacked = None
+        if local_method in ("auto", "pallas"):
+            try:
+                from .wsell_stack import stack_wsell
+
+                st = stack_wsell(blocks, self.x_chunk, self.dtype,
+                                 min_fill=min_fill, th=th)
+                self._stacked = st
+                r4 = lambda arr: arr.reshape((R, C) + arr.shape[1:])
+                p2 = P(rows_axis, cols_axis)
+                self._pval = jax.device_put(r4(st.val), sh(p2))
+                self._plcol = jax.device_put(r4(st.lcol), sh(p2))
+                self._pwr = jax.device_put(r4(st.wrow), sh(p2))
+                self._pob = jax.device_put(r4(st.obase), sh(p2))
+                self._pl_unpad = self._make_unpad(st.y_rows * st.sub)
+                self.bytes_per_iter = st.bytes_per_iter * R * C
+                self.local_method = "pallas"
+            except ValueError:
+                if local_method == "pallas":
+                    raise
         self._x_sharding = sh(P(cols_axis, None))
-        self._build_fn()
+        self._build_fn_ell()
+        self._pallas_runs = {}
 
-    def _build_fn(self):
+    def _make_unpad(self, stride):
+        m = self.shape[0]
+        slot = np.empty(m, dtype=np.int64)
+        for i in range(self.grid[0]):
+            r0, r1 = self._row_starts[i], self._row_starts[i + 1]
+            slot[r0:r1] = i * stride + np.arange(r1 - r0)
+        return jnp.asarray(slot.astype(INDEX_DTYPE))
+
+    def _build_fn_ell(self):
         def body(col, val, x_shard):
             # col/val: (1, 1, rows_pad, W); x_shard: (x_chunk, k)
             with jax.named_scope("kernel"):
@@ -98,7 +132,7 @@ class Dist2DSpmmPlan:
             out_specs=P(rows_axis, None, None),
             check_vma=False,
         )
-        unpad = self._unpad
+        unpad = self._ell_unpad
 
         @jax.jit
         def run(col, val, x_pad):
@@ -107,15 +141,89 @@ class Dist2DSpmmPlan:
 
         self._run = run
 
+    def _pallas_fits(self, k: int) -> bool:
+        from .wsell_stack import VMEM_X_LIMIT, VMEM_Y_LIMIT
+
+        st = self._stacked
+        if st is None:
+            return False
+        return (k * st.x2d_rows * 128 * 4 <= VMEM_X_LIMIT
+                and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT)
+
+    def _get_pallas_run(self, k: int):
+        if k in self._pallas_runs:
+            return self._pallas_runs[k]
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.kernels.spmm_pallas import _kernel
+        from ..retile_wsell import LANES
+        from ..utils.backend import on_cpu
+
+        st = self._stacked
+        R, _ = self.grid
+        xpad = st.x2d_rows * LANES - self.x_chunk
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(st.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((st.th, LANES), lambda t, wr, ob: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            _kernel(st.th, st.sub, st.nwin, st.wgroup, k),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((st.y_rows, k * st.sub),
+                                           jnp.float32),
+            interpret=on_cpu(),
+        )
+        x2d_rows, sub, y_rows = st.x2d_rows, st.sub, st.y_rows
+
+        def body(wr, ob, val, lcol, x_shard):
+            xt = jnp.pad(x_shard.astype(jnp.float32), ((0, xpad), (0, 0)))
+            xt = xt.reshape(x2d_rows, LANES, k).transpose(2, 0, 1)
+            with jax.named_scope("kernel"):
+                y = call(wr[0, 0], ob[0, 0], xt, val[0, 0], lcol[0, 0])
+            with jax.named_scope("collective"):
+                y = lax.psum(y, cols_axis)
+            return y[None]
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(rows_axis, cols_axis),) * 4 + (P(cols_axis, None),),
+            out_specs=P(rows_axis, None, None),
+            check_vma=False,
+        )
+        unpad = self._pl_unpad
+        dtype = self.dtype
+
+        @jax.jit
+        def run(wr, ob, val, lcol, x_pad):
+            y = fn(wr, ob, val, lcol, x_pad)  # (R, y_rows, k*sub)
+            y = y.reshape(R * y_rows, k, sub).transpose(0, 2, 1)
+            return y.reshape(-1, k)[unpad].astype(dtype)
+
+        self._pallas_runs[k] = run
+        return run
+
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
         m, n = self.shape
         x = jnp.asarray(x, dtype=self.dtype)
         if x.ndim != 2 or x.shape[0] != n:
             raise ValueError(f"X must have shape ({n}, k), got {x.shape}")
-        x_pad = jnp.zeros((self.n_pad, x.shape[1]),
-                          dtype=self.dtype).at[:n].set(x)
+        k = x.shape[1]
+        x_pad = jnp.zeros((self.n_pad, k), dtype=self.dtype).at[:n].set(x)
         x_pad = jax.device_put(x_pad, self._x_sharding)
-        out = alpha * self._run(self._col, self._val, x_pad)
+        if self.local_method == "pallas" and self._pallas_fits(k):
+            run = self._get_pallas_run(k)
+            out = run(self._pwr, self._pob, self._pval, self._plcol, x_pad)
+        else:
+            out = self._run(self._col, self._val_ell, x_pad)
+        out = alpha * out
         if y is not None:
             out = out + beta * jnp.asarray(y, dtype=self.dtype)
         elif beta != 0.0:

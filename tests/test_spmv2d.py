@@ -85,3 +85,20 @@ def test_2d_spmm_alpha_beta():
     y0 = rng.standard_normal((256, 4)).astype(np.float32)
     out = np.asarray(Dist2DSpmmPlan(a, mesh)(x, alpha=1.5, beta=-2.0, y=y0))
     assert rel_err(out, spmv_golden(a, x, alpha=1.5, beta=-2.0, y=y0)) < 1e-5
+
+
+def test_2d_spmm_pallas_body():
+    from sblas.parallel import Dist2DSpmmPlan
+
+    mesh = make_mesh2d(2, 4)
+    a = datasets.emulate("cant", scale=0.04, dtype=np.float32)
+    x = np.random.default_rng(8).standard_normal((a.shape[1], 8)).astype(
+        np.float32)
+    p = Dist2DSpmmPlan(a, mesh, local_method="pallas", min_fill=0.02,
+                       th=128)
+    assert p.local_method == "pallas"
+    assert rel_err(np.asarray(p(x)), spmv_golden(a, x)) < 1e-4
+    # second k reuses the plan; ELL fallback engages for VMEM-bound k
+    x2 = np.random.default_rng(9).standard_normal((a.shape[1], 2)).astype(
+        np.float32)
+    assert rel_err(np.asarray(p(x2)), spmv_golden(a, x2)) < 1e-4
