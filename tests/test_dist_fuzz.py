@@ -60,3 +60,37 @@ def test_dist_spmm_fuzz(seed, mesh8):
     x = rng.standard_normal((n, k)).astype(np.float32)
     y = np.asarray(DistSpmmPlan(a, mesh8)(x))
     assert rel_err(y, spmm_golden(a, x)) < 1e-4, (m, n, k, nnz)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dist_2d_fuzz(seed, mesh8):
+    from sblas.parallel import Dist2DSpmvPlan, make_mesh2d
+
+    rng = np.random.default_rng(4000 + seed)
+    grid = [(2, 4), (4, 2), (8, 1), (1, 8)][seed % 4]
+    m = int(rng.integers(16, 1100))
+    n = int(rng.integers(16, 1100))
+    nnz = int(rng.integers(1, max(m * n // 8, 2)))
+    coo = COO((m, n), rng.integers(0, m, nnz), rng.integers(0, n, nnz),
+              rng.standard_normal(nnz).astype(np.float32))
+    a = coo_to_csr(coo).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(Dist2DSpmvPlan(a, make_mesh2d(*grid),
+                                  local_method="ell")(x))
+    assert rel_err(y, spmv_golden(a, x)) < 1e-4, (m, n, nnz, grid)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_halo_fuzz(seed, mesh8):
+    from sblas.parallel import HaloSpmvPlan
+
+    rng = np.random.default_rng(5000 + seed)
+    n = int(rng.integers(200, 4000))
+    bw = int(rng.integers(2, 12))
+    a = datasets.banded(n, bw, seed=seed, dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    try:
+        p = HaloSpmvPlan(a, mesh8)
+    except ValueError:
+        return  # halo too wide for tiny shards — designed refusal
+    assert rel_err(np.asarray(p(x)), spmv_golden(a, x)) < 1e-4, (n, bw)
