@@ -75,10 +75,11 @@ class SpmvPlan:
     """Retiled device-resident SpMV executor for one CSR matrix."""
 
     def __init__(self, a, method: str = "auto", *, max_width: int = 2048,
-                 value_dtype=None):
+                 value_dtype=None, min_fill=None):
         from .common import as_csr
 
         a = as_csr(a)
+        fill_kw = {} if min_fill is None else {"min_fill": min_fill}
         self._value_dtype = value_dtype  # bf16 value stream (pallas paths)
         self.shape = a.shape
         self.dtype = a.dtype
@@ -92,7 +93,8 @@ class SpmvPlan:
             try:
                 from .kernels.spmv_pallas import PallasSpmv
 
-                self._pallas = PallasSpmv(a, value_dtype=value_dtype)
+                self._pallas = PallasSpmv(a, value_dtype=value_dtype,
+                                          **fill_kw)
                 self.method = "pallas"
                 self.bytes_per_iter = self._pallas.bytes_per_iter
                 return
@@ -102,8 +104,8 @@ class SpmvPlan:
             from .kernels.spmv_pseg import PallasSpmvScattered
 
             try:
-                self._pallas = PallasSpmvScattered(a,
-                                                   value_dtype=value_dtype)
+                self._pallas = PallasSpmvScattered(
+                    a, value_dtype=value_dtype, **fill_kw)
                 self.method = "pseg"
                 self.bytes_per_iter = self._pallas.bytes_per_iter
                 self.fill = self._pallas.layout.fill
@@ -162,7 +164,8 @@ class SpmvPlan:
         elif method == "pallas":
             from .kernels.spmv_pallas import PallasSpmv
 
-            self._pallas = PallasSpmv(a, value_dtype=value_dtype)
+            self._pallas = PallasSpmv(a, value_dtype=value_dtype,
+                                      **fill_kw)
             self.bytes_per_iter = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmv method {method!r}")

@@ -23,3 +23,14 @@ def test_cg_and_ssor_pcg():
     assert itp < it, "SSOR preconditioning must reduce iterations"
     err = np.linalg.norm(a.to_scipy() @ xp - b) / np.linalg.norm(b)
     assert err < 5e-5
+
+
+def test_pagerank_example():
+    mod = runpy.run_path(str(_EX / "pagerank.py"))
+    g = datasets.emulate("uk-2002", scale=0.01, dtype=np.float32)
+    r, it = mod["pagerank"](g, method="bucket", tol=1e-9)
+    assert abs(float(r.sum()) - 1.0) < 1e-3
+    assert it < 200
+    # permuted-space PSEG path agrees with the XLA path
+    rp, _ = mod["pagerank"](g, method="pseg", min_fill=0.15, tol=1e-9)
+    assert np.abs(rp - r).max() < 1e-2 * max(float(r.max()), 1e-9)
