@@ -123,7 +123,7 @@ class SpmvPlan:
             # drop-in call pays two permutation gathers, apply_permuted
             # is the zero-overhead iterative path (pseg precedent).
             try:
-                self._init_rcm(a, value_dtype)
+                self._init_rcm(a, value_dtype, fill_kw)
                 return
             except ValueError:
                 if not auto:
@@ -170,12 +170,12 @@ class SpmvPlan:
         else:
             raise ValueError(f"unknown spmv method {method!r}")
 
-    def _init_rcm(self, a: CSR, value_dtype):
+    def _init_rcm(self, a: CSR, value_dtype, fill_kw):
         from .kernels.spmv_pallas import PallasSpmv
         from ..reorder import rcm
 
         ap, perm = rcm(a)
-        self._pallas = PallasSpmv(ap, value_dtype=value_dtype)
+        self._pallas = PallasSpmv(ap, value_dtype=value_dtype, **fill_kw)
         self._rcm_perm = jnp.asarray(perm.astype(np.int32))
         inv = np.empty(len(perm), dtype=np.int64)
         inv[perm] = np.arange(len(perm))

@@ -9,9 +9,10 @@ RHS columns the 2D layout's advantage over the 1D all_gather grows K-fold:
 
 Local compute: the w-SELL Pallas SpMM kernel over the chip's X chunk
 (stacked to a common geometry via wsell_stack, staged as Xt[k, rows, 128]
-in VMEM) whenever the blocks are Pallas-servable and k fits VMEM;
-otherwise the XLA ELL einsum. The choice is per-k at call time —
-``local_method`` records the construction-time layout.
+in VMEM) whenever the blocks are Pallas-servable and k fits VMEM; the XLA
+ELL einsum is the per-k fallback, built lazily on first use (same pattern
+as DistSpmmPlan). ``bytes_per_iter_for(k)`` reports the stream model for
+the body a given k actually runs.
 """
 
 from __future__ import annotations
@@ -55,40 +56,24 @@ class Dist2DSpmmPlan:
 
         part = partition_rows(a, R, "nnz_balanced")
         self.nnz_balance = part.balance()
-        row_starts = [int(r) for r in part.row_starts]
-        self._row_starts = row_starts
+        self._row_starts = [int(r) for r in part.row_starts]
 
         from .wsell_stack import split_2d_blocks
 
-        blocks = split_2d_blocks(part.parts, self.x_chunk, C)
+        self._blocks = split_2d_blocks(part.parts, self.x_chunk, C)
         sh = lambda spec: NamedSharding(self.mesh, spec)
         self._sh = sh
 
-        # ELL layout (always built: the per-k VMEM fallback)
-        ells = [to_ell(b) for b in blocks]
-        width = max(max(e.width for e in ells), 1)
-        rows_pad = max(_round_up(max(e.m, 1), 8) for e in ells)
-        col = np.zeros((R, C, rows_pad, width), dtype=INDEX_DTYPE)
-        val = np.zeros((R, C, rows_pad, width), dtype=a.dtype)
-        for i in range(R):
-            for j in range(C):
-                e = ells[i * C + j]
-                col[i, j, : e.col.shape[0], : e.width] = e.col
-                val[i, j, : e.val.shape[0], : e.width] = e.val
-        self.rows_pad = rows_pad
-        self._col = jax.device_put(col, sh(P(rows_axis, cols_axis)))
-        self._val_ell = jax.device_put(val, sh(P(rows_axis, cols_axis)))
-        self.bytes_per_iter = col.size * (a.data.itemsize + 4)
-        self.local_method = "ell"
-        self._ell_unpad = self._make_unpad(rows_pad)
-
-        # w-SELL layout for the Pallas body (same stack as spmv2d)
+        # w-SELL layout for the Pallas body (same stack as spmv2d);
+        # the ELL fallback is built lazily on first VMEM-bound k
         self._stacked = None
+        self._ell_built = False
+        self.local_method = "ell"
         if local_method in ("auto", "pallas"):
             try:
-                from .wsell_stack import stack_wsell
+                from .wsell_stack import stack_wsell, unpad_slots
 
-                st = stack_wsell(blocks, self.x_chunk, self.dtype,
+                st = stack_wsell(self._blocks, self.x_chunk, self.dtype,
                                  min_fill=min_fill, th=th)
                 self._stacked = st
                 r4 = lambda arr: arr.reshape((R, C) + arr.shape[1:])
@@ -97,23 +82,53 @@ class Dist2DSpmmPlan:
                 self._plcol = jax.device_put(r4(st.lcol), sh(p2))
                 self._pwr = jax.device_put(r4(st.wrow), sh(p2))
                 self._pob = jax.device_put(r4(st.obase), sh(p2))
-                self._pl_unpad = self._make_unpad(st.y_rows * st.sub)
-                self.bytes_per_iter = st.bytes_per_iter * R * C
+                self._pl_unpad = jnp.asarray(unpad_slots(
+                    self._row_starts, st.y_rows * st.sub
+                ).astype(INDEX_DTYPE))
+                self._pallas_bytes = st.bytes_per_iter * R * C
+                self.bytes_per_iter = self._pallas_bytes
                 self.local_method = "pallas"
             except ValueError:
                 if local_method == "pallas":
                     raise
+        if self.local_method == "ell":
+            self._build_ell()
+            self.bytes_per_iter = self._ell_bytes
         self._x_sharding = sh(P(cols_axis, None))
-        self._build_fn_ell()
         self._pallas_runs = {}
 
-    def _make_unpad(self, stride):
-        m = self.shape[0]
-        slot = np.empty(m, dtype=np.int64)
-        for i in range(self.grid[0]):
-            r0, r1 = self._row_starts[i], self._row_starts[i + 1]
-            slot[r0:r1] = i * stride + np.arange(r1 - r0)
-        return jnp.asarray(slot.astype(INDEX_DTYPE))
+    def bytes_per_iter_for(self, k: int) -> int:
+        """Stream-bytes model for the body a k-column call actually runs."""
+        if self.local_method == "pallas" and self._pallas_fits(k):
+            return self._pallas_bytes
+        self._build_ell()
+        return self._ell_bytes
+
+    def _build_ell(self):
+        if self._ell_built:
+            return
+        from .wsell_stack import unpad_slots
+
+        R, C = self.grid
+        ells = [to_ell(b) for b in self._blocks]
+        width = max(max(e.width for e in ells), 1)
+        rows_pad = max(_round_up(max(e.m, 1), 8) for e in ells)
+        col = np.zeros((R, C, rows_pad, width), dtype=INDEX_DTYPE)
+        val = np.zeros((R, C, rows_pad, width), dtype=self.dtype)
+        for i in range(R):
+            for j in range(C):
+                e = ells[i * C + j]
+                col[i, j, : e.col.shape[0], : e.width] = e.col
+                val[i, j, : e.val.shape[0], : e.width] = e.val
+        self.rows_pad = rows_pad
+        self._col = jax.device_put(col, self._sh(P(rows_axis, cols_axis)))
+        self._val_ell = jax.device_put(val,
+                                       self._sh(P(rows_axis, cols_axis)))
+        self._ell_bytes = col.size * (np.dtype(self.dtype).itemsize + 4)
+        self._ell_unpad = jnp.asarray(unpad_slots(
+            self._row_starts, rows_pad).astype(INDEX_DTYPE))
+        self._build_fn_ell()
+        self._ell_built = True
 
     def _build_fn_ell(self):
         def body(col, val, x_shard):
@@ -142,13 +157,10 @@ class Dist2DSpmmPlan:
         self._run = run
 
     def _pallas_fits(self, k: int) -> bool:
-        from .wsell_stack import VMEM_X_LIMIT, VMEM_Y_LIMIT
+        from .wsell_stack import pallas_spmm_fits
 
         st = self._stacked
-        if st is None:
-            return False
-        return (k * st.x2d_rows * 128 * 4 <= VMEM_X_LIMIT
-                and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT)
+        return st is not None and pallas_spmm_fits(st, k)
 
     def _get_pallas_run(self, k: int):
         if k in self._pallas_runs:
@@ -222,6 +234,7 @@ class Dist2DSpmmPlan:
             run = self._get_pallas_run(k)
             out = run(self._pwr, self._pob, self._pval, self._plcol, x_pad)
         else:
+            self._build_ell()
             out = self._run(self._col, self._val_ell, x_pad)
         out = alpha * out
         if y is not None:

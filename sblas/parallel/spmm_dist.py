@@ -124,13 +124,10 @@ class DistSpmmPlan:
         self._ell_built = True
 
     def _pallas_fits(self, k: int) -> bool:
-        from .wsell_stack import VMEM_X_LIMIT, VMEM_Y_LIMIT
+        from .wsell_stack import pallas_spmm_fits
 
         st = self._stacked
-        if st is None:
-            return False
-        return (k * st.x2d_rows * 128 * 4 <= VMEM_X_LIMIT
-                and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT)
+        return st is not None and pallas_spmm_fits(st, k)
 
     def _get_run(self, k: int):
         if k in self._runs:

@@ -123,12 +123,10 @@ class Dist2DSpmvPlan:
         self._set_unpad(rows_pad)
 
     def _set_unpad(self, stride):
-        m = self.shape[0]
-        slot = np.empty(m, dtype=np.int64)
-        for i in range(self.grid[0]):
-            r0, r1 = self._row_starts[i], self._row_starts[i + 1]
-            slot[r0:r1] = i * stride + np.arange(r1 - r0)
-        self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+        from .wsell_stack import unpad_slots
+
+        self._unpad = jnp.asarray(
+            unpad_slots(self._row_starts, stride).astype(INDEX_DTYPE))
 
     # ---- executors ----
 

@@ -238,3 +238,21 @@ def split_2d_blocks(parts, n_chunk: int, ncols: int):
                 coo.row[sel], coo.col[sel] - c0, coo.data[sel],
             )))
     return blocks
+
+
+def pallas_spmm_fits(st: StackedWSell, k: int) -> bool:
+    """Does a k-column SpMM fit the per-chip VMEM staging/accumulator
+    budget for this stacked layout? (shared by the 1D and 2D dist plans)"""
+    return (k * st.x2d_rows * 128 * 4 <= VMEM_X_LIMIT
+            and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT)
+
+
+def unpad_slots(row_starts: list[int], stride: int) -> np.ndarray:
+    """slot[r] = owner_block * stride + offset: the gather map that
+    reassembles per-chip padded outputs into original row order."""
+    m = int(row_starts[-1])
+    slot = np.empty(m, dtype=np.int64)
+    for i in range(len(row_starts) - 1):
+        r0, r1 = row_starts[i], row_starts[i + 1]
+        slot[r0:r1] = i * stride + np.arange(r1 - r0)
+    return slot
