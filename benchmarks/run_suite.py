@@ -121,6 +121,19 @@ def main():
         except Exception as e:
             print(f"# graph spmv {name} FAIL: {str(e)[:200]}", flush=True)
 
+    # Multi-chip (only meaningful on a real pod slice; the 1-chip axon
+    # tunnel never takes this branch)
+    if jax.device_count() > 1 and not args.quick:
+        try:
+            from sblas.parallel import make_mesh
+
+            a = datasets.emulate("cant", scale=scale, dtype=np.float32)
+            rec = bench_lib.bench_dist_spmv(a, make_mesh(), iters=10)
+            rec.extra["matrix"] = "cant"
+            emit(rec)
+        except Exception as e:
+            print(f"# dist-spmv FAIL: {str(e)[:200]}", flush=True)
+
     print(f"# wrote {len(records)} records to {out}", flush=True)
 
 

@@ -10,6 +10,12 @@ XLA from `shard_map`-annotated code and ride ICI.
 
 Develop/test on a CPU mesh via XLA_FLAGS=--xla_force_host_platform_device_count=N;
 identical code runs on a real v5e pod slice.
+
+Multi-host: after `jax.distributed.initialize()`, `jax.devices()` spans all
+hosts, so `make_mesh()`/`make_mesh2d()` build global meshes unchanged — XLA
+routes the same collectives over ICI within a slice and DCN across hosts.
+Prefer the 2D/halo plans there: their per-chip collective bytes are the
+ones that survive DCN's lower bandwidth.
 """
 
 from .mesh import make_mesh, make_mesh2d, chips_axis, rows_axis, cols_axis
