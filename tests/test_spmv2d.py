@@ -102,3 +102,20 @@ def test_2d_spmm_pallas_body():
     x2 = np.random.default_rng(9).standard_normal((a.shape[1], 2)).astype(
         np.float32)
     assert rel_err(np.asarray(p(x2)), spmv_golden(a, x2)) < 1e-4
+
+
+def test_2d_spmm_bytes_model_per_k():
+    """bytes_per_iter_for(k) must report the body k actually runs
+    (regression: the 1D plan once clobbered its Pallas model)."""
+    from sblas.parallel import Dist2DSpmmPlan
+
+    mesh = make_mesh2d(2, 4)
+    a = datasets.emulate("cant", scale=0.04, dtype=np.float32)
+    p = Dist2DSpmmPlan(a, mesh, local_method="pallas", min_fill=0.02,
+                       th=128)
+    b_small = p.bytes_per_iter_for(8)       # pallas body
+    assert b_small == p._pallas_bytes
+    huge_k = 10_000_000                     # guaranteed VMEM-bound
+    b_huge = p.bytes_per_iter_for(huge_k)   # ell body
+    assert b_huge == p._ell_bytes
+    assert p.bytes_per_iter == p._pallas_bytes  # primary model untouched
