@@ -158,8 +158,9 @@ def main():
             err = rel_err(y.reshape(-1)[:a.shape[0]], gold) if check else -1.0
             per = measure_seconds_per_iter(
                 lambda x1, wr, ob, val, lcol:
-                    step(x1, wr, ob, val, lcol)[0, 0] * 1e-30,
-                x, wr, ob, val, lcol, iters_lo=8, iters_hi=32, repeats=2)
+                    x1 + step(x1, wr, ob, val, lcol)[0, 0] * 1e-30,
+                jnp.asarray(x), wr, ob, val, lcol,
+                iters_lo=8, iters_hi=32, repeats=2)
             by = w.bytes_per_iter + a.shape[1] * 4 + a.shape[0] * 4
             P(f"{name:12s} th={th:4d} wg={wg} fill={w.fill:.3f} "
               f"{per*1e6:7.1f} us  {by/per/1e9:6.1f} GB/s "

@@ -31,6 +31,8 @@ P = lambda *a: print(*a, flush=True)
 
 
 def make_kernel(br, tb, k, precision):
+    bf16x3 = precision == "bf16x3"
+
     def kern(brow_ref, bcol_ref, x_ref, blk_ref, out_ref):
         t = pl.program_id(0)
 
@@ -44,8 +46,22 @@ def make_kernel(br, tb, k, precision):
             br_ = brow_ref[i]
             a = blk_ref[b * br:(b + 1) * br, :]
             xa = x_ref[pl.ds(bc * 128, 128), :]
-            p = jnp.dot(a, xa, preferred_element_type=jnp.float32,
-                        precision=precision)
+            if bf16x3:
+                # manual 3-pass: a_hi@x_hi + a_hi@x_lo + a_lo@x_hi
+                ah = a.astype(jnp.bfloat16)
+                al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                xh = xa.astype(jnp.bfloat16)
+                xl = (xa - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                de = jax.lax.Precision.DEFAULT
+                p = (jnp.dot(ah, xh, preferred_element_type=jnp.float32,
+                             precision=de)
+                     + jnp.dot(ah, xl, preferred_element_type=jnp.float32,
+                               precision=de)
+                     + jnp.dot(al, xh, preferred_element_type=jnp.float32,
+                               precision=de))
+            else:
+                p = jnp.dot(a, xa, preferred_element_type=jnp.float32,
+                            precision=precision)
             slab = br_ * br
             cur = out_ref[pl.ds(slab, br), :]
             out_ref[pl.ds(slab, br), :] = cur + p
@@ -60,7 +76,6 @@ def main():
     P(f"# STREAM {sbw:.1f} GB/s  nnz={a.nnz}")
 
     HI = jax.lax.Precision.HIGHEST
-    H = jax.lax.Precision.HIGH
     DE = jax.lax.Precision.DEFAULT
 
     for k in (8, 32):
@@ -68,11 +83,11 @@ def main():
         gold = spmm_golden(a, x)
         for br, tb, prec, pname in [
             (64, 8, HI, "HIGHEST"),
-            (64, 8, H, "HIGH"),
+            (64, 8, "bf16x3", "bf16x3"),
             (64, 8, DE, "DEFAULT"),
-            (32, 16, H, "HIGH"),
-            (128, 4, H, "HIGH"),
-            (64, 16, H, "HIGH"),
+            (32, 16, HI, "HIGHEST"),
+            (128, 4, HI, "HIGHEST"),
+            (64, 16, HI, "HIGHEST"),
         ]:
             try:
                 bsr = pack_bsr(a, br=br, bc=128)
@@ -115,8 +130,10 @@ def main():
                 y = np.asarray(jax.jit(step)(xpad, jbr, jbc, jb))[: a.shape[0]]
                 err = rel_err(y, gold)
                 per = measure_seconds_per_iter(
-                    lambda xp, jbr, jbc, jb: step(xp, jbr, jbc, jb)[0, 0] * 1e-30,
-                    xpad, jbr, jbc, jb, iters_lo=8, iters_hi=32, repeats=2)
+                    lambda xp, jbr, jbc, jb:
+                        xp + step(xp, jbr, jbc, jb)[0, 0] * 1e-30,
+                    jnp.asarray(xpad), jbr, jbc, jb,
+                    iters_lo=8, iters_hi=32, repeats=2)
                 by = blocks.size * 4 + nb * 8 + (np_ + mp) * k * 4
                 gf = 2.0 * a.nnz * k / per / 1e9
                 P(f"k={k:2d} br={br:3d} tb={tb:2d} {pname:7s} "

@@ -1,0 +1,176 @@
+"""Pallas TPU SpMM over dense BSR blocks — MXU matmuls, zero gathers
+(SURVEY.md C6 fast path for panel-clustered matrices).
+
+Round-3 measurement: the w-SELL SpMM kernel pays K x (2 lane-gathers +
+where + segment-dot) per window group — 57 GB/s (8.6% of STREAM) at K=8 on
+cant, and its ngrp*K static unroll crashes the Mosaic compiler at K=32.
+The fix is structural, not parametric: for FEM-suite matrices the nonzeros
+cluster into (br x 128) panels at ~0.10-0.15 density (measured cant/consph/
+pdb1HYS/pwtk), so storing touched panels DENSE turns SpMM into a stream of
+(br,128)@(128,K) MXU dots with no gather at all:
+
+    per block b:  Y[brow_b] += A_block_b @ X[bcol_b]     (one dot, one RMW)
+
+The dense-padding bytes are real HBM traffic and are counted in
+bytes_per_iter (density is reported alongside, as fill is for w-SELL); the
+same kernel shape serves any K, so arithmetic intensity grows K-fold at
+constant traffic — the regime shift SURVEY.md §3.2 requires between K=8
+and K=32.
+
+X and Y live whole in VMEM ((n_panels*128, K) and (num_brows*br, K)); the
+block stream is the only per-iteration HBM traffic beyond one pass over
+X/Y.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...formats import CSR
+from ...retile_bsr import pack_bsr, bsr_stats
+
+_VMEM_X_LIMIT = 16 * (1 << 20)
+_VMEM_Y_LIMIT = 16 * (1 << 20)
+
+
+def _kernel(br, tb, precision):
+    def kern(brow_ref, bcol_ref, x_ref, blk_ref, out_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for b in range(tb):
+            i = t * tb + b
+            bc = bcol_ref[i]
+            brw = brow_ref[i]
+            a = blk_ref[b * br:(b + 1) * br, :].astype(jnp.float32)
+            xa = x_ref[pl.ds(bc * 128, 128), :]
+            p = jnp.dot(a, xa, preferred_element_type=jnp.float32,
+                        precision=precision)
+            slab = brw * br
+            cur = out_ref[pl.ds(slab, br), :]
+            out_ref[pl.ds(slab, br), :] = cur + p
+
+    return kern
+
+
+class PallasSpmmBsr:
+    """Dense-block Pallas SpMM executor (fixed K per call; compiled per K)."""
+
+    def __init__(self, a: CSR, *, br: int = 64, tb: int = 8,
+                 min_density: float = 0.04, value_dtype=None,
+                 precision=None):
+        if a.dtype == np.float64:
+            raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        from .spmv_pallas import check_value_dtype
+
+        value_dtype = check_value_dtype(value_dtype)
+        self.value_dtype = value_dtype
+        m, n = a.shape
+        st = bsr_stats(a, br=br, bc=128)
+        if st["density"] < min_density:
+            raise ValueError(
+                f"BSR density {st['density']:.3f} below {min_density} "
+                "(scattered matrix); use the w-SELL/PSEG paths"
+            )
+        bsr = pack_bsr(a, br=br, bc=128)
+        self.bsr = bsr
+        self.br = br
+        self.tb = tb
+        self.density = bsr.density
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        # Mosaic supports only DEFAULT (1 bf16 pass, ~1e-3) and HIGHEST
+        # (~f32) dot precision; f32 values need HIGHEST, bf16 streams are
+        # exact in one DEFAULT pass.
+        if precision is None:
+            precision = (jax.lax.Precision.DEFAULT
+                         if value_dtype == jnp.bfloat16
+                         else jax.lax.Precision.HIGHEST)
+        self.precision = precision
+
+        nb = bsr.nblocks
+        T = -(-nb // tb)
+        total = T * tb
+        blocks = np.zeros((total * br, 128), np.float32)
+        blocks[: nb * br] = bsr.blocks.reshape(nb * br, 128)
+        brow = np.zeros(total, np.int32)
+        bcol = np.zeros(total, np.int32)
+        brow[:nb] = bsr.brow
+        bcol[:nb] = bsr.bcol
+        # pad blocks are all-zero; route them at the last block-row slab
+        brow[nb:] = bsr.num_brows - 1
+        self.num_tiles = T
+        self.bytes_per_iter = (blocks.size * value_dtype.itemsize
+                               + total * 8)
+        self._blocks = jnp.asarray(blocks).astype(value_dtype)
+        self._brow = jnp.asarray(brow)
+        self._bcol = jnp.asarray(bcol)
+        self._calls = {}
+
+    def _get_call(self, k: int):
+        if k in self._calls:
+            return self._calls[k]
+        bsr = self.bsr
+        if bsr.num_bcols * 128 * k * 4 > _VMEM_X_LIMIT:
+            raise ValueError("X exceeds VMEM staging limit for bsr spmm")
+        if bsr.num_brows * self.br * k * 4 > _VMEM_Y_LIMIT:
+            raise ValueError("Y exceeds VMEM accumulator limit for bsr spmm")
+        from ...utils.backend import on_cpu
+        interpret = on_cpu()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(self.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # X whole
+                pl.BlockSpec((self.tb * self.br, 128),
+                             lambda t, br_, bc_: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            _kernel(self.br, self.tb, self.precision),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (bsr.num_brows * self.br, k), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * self.num_tiles * self.tb * self.br * 128 * k),
+                bytes_accessed=int(self.bytes_per_iter
+                                   + (bsr.num_bcols + bsr.num_brows)
+                                   * 128 * k * 4),
+                transcendentals=0,
+            ),
+        )
+        self._calls[k] = call
+        return call
+
+    def device_arrays(self):
+        return {"brow": self._brow, "bcol": self._bcol,
+                "blocks": self._blocks}
+
+    def apply_pure(self, arrs, x):
+        m, n = self.shape
+        k = x.shape[1]
+        call = self._get_call(k)
+        pad = self.bsr.num_bcols * 128 - n
+        xp = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
+        y = call(arrs["brow"], arrs["bcol"], xp, arrs["blocks"])
+        return y[:m].astype(self.dtype)
+
+    def apply_traced(self, x):
+        return self.apply_pure(self.device_arrays(), x)
+
+    def __call__(self, x, alpha, beta, y, with_y):
+        out = self.apply_traced(x)
+        out = alpha.astype(out.dtype) * out
+        if with_y:
+            out = out + beta.astype(out.dtype) * y
+        return out

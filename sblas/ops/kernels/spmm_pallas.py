@@ -114,6 +114,15 @@ class PallasSpmm:
         n = self.shape[1]
         if k * w.x2d_rows * 128 * 4 > _VMEM_XT_LIMIT:
             raise ValueError("X exceeds VMEM staging limit for pallas spmm")
+        # The kernel statically unrolls ngrp*k bodies per grid step; measured
+        # on v5e, ~1024 bodies (th=1024, wgroup=4, k=32) crashes the Mosaic
+        # compiler. Refuse past ~the known-good size so callers fall back.
+        ngrp = (w.th // SUBLANES) // w.wgroup
+        if ngrp * k > 512:
+            raise ValueError(
+                f"pallas spmm unroll ngrp*k = {ngrp * k} exceeds the Mosaic "
+                "compile budget; use the bsr_pallas or XLA path for this K"
+            )
         if w.y_rows * w.sub * k * 4 > _VMEM_Y_LIMIT:
             raise ValueError("Y exceeds VMEM accumulator limit")
         from ...utils.backend import on_cpu

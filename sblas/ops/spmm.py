@@ -84,6 +84,23 @@ class SpmmPlan:
         auto = method == "auto"
         if auto:
             method = self._pick(a)
+        # pallas-family plans keep the CSR so call-time VMEM/K limits can
+        # fall back to an XLA plan instead of crashing (per-K compiles mean
+        # some limits are only knowable at call time).
+        self._csr = a if method in ("pallas", "pseg", "bsr_pallas") else None
+        self._fb = None
+        if method == "bsr_pallas" and auto:
+            # auto chain: dense-block BSR (MXU dots, no gather; FEM suite)
+            # -> w-SELL -> PSEG (scattered) -> XLA
+            try:
+                from .kernels.spmm_bsr_pallas import PallasSpmmBsr
+
+                self._pallas = PallasSpmmBsr(a, value_dtype=value_dtype)
+                self.method = "bsr_pallas"
+                self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+                return
+            except ValueError:
+                method = "pallas"
         if method == "pallas" and auto:
             # same fallback contract as SpmvPlan: auto-selection chains
             # w-SELL -> PSEG (scattered) -> XLA (VERDICT r1 items 3/6)
@@ -138,6 +155,11 @@ class SpmmPlan:
 
             self._pallas = PallasSpmm(a, value_dtype=value_dtype)
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+        elif method == "bsr_pallas":
+            from .kernels.spmm_bsr_pallas import PallasSpmmBsr
+
+            self._pallas = PallasSpmmBsr(a, value_dtype=value_dtype)
+            self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmm method {method!r}")
 
@@ -156,7 +178,7 @@ class SpmmPlan:
         from ..utils.backend import on_cpu
 
         if a.dtype != np.float64 and not on_cpu():
-            return "pallas"
+            return "bsr_pallas"
         return SpmmPlan._xla_heuristic(a)
 
     def device_arrays(self):
@@ -206,7 +228,7 @@ class SpmmPlan:
             flat = jnp.concatenate(partials)
             return jnp.zeros((m + 1, k),
                              dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
-        if self.method in ("pallas", "pseg"):
+        if self.method in ("pallas", "pseg", "bsr_pallas"):
             return self._pallas.apply_pure(arrs, x)
         meta = self._bsr_meta
         pad = meta.num_bcols * meta.bc - self.shape[1]
@@ -273,7 +295,17 @@ class SpmmPlan:
             if with_y:
                 out = out + be.astype(out.dtype) * yv
             return out
-        return self._pallas(x, al, be, yv, with_y)
+        try:
+            return self._pallas(x, al, be, yv, with_y)
+        except ValueError:
+            # per-K limits (VMEM staging, unroll size) surface at call time;
+            # delegate to a lazily-built XLA plan instead of crashing
+            if self._csr is None:
+                raise
+            if self._fb is None:
+                self._fb = SpmmPlan(self._csr,
+                                    self._xla_heuristic(self._csr))
+            return self._fb(x, alpha, beta, y)
 
 
 def spmm(a, x, alpha: float = 1.0, beta: float = 0.0, y=None,

@@ -74,7 +74,8 @@ def test_spmm_bucket_apply_pure():
 
 
 def test_spmm_auto_pallas_on_accelerator():
-    # auto must pick pallas on non-cpu f32 and fall back on scattered input
+    # auto must pick the dense-block MXU path on non-cpu f32 for
+    # panel-clustered matrices and fall back on scattered input
     import sblas.utils.backend as be
 
     a = datasets.emulate("cant", scale=0.1, dtype=np.float32)
@@ -82,10 +83,55 @@ def test_spmm_auto_pallas_on_accelerator():
     saved = be._BACKEND
     be._BACKEND = "tpu"
     try:
-        assert SpmmPlan(a, "auto").method == "pallas"
+        assert SpmmPlan(a, "auto").method == "bsr_pallas"
         assert SpmmPlan(scattered, "auto").method in ("bucket", "ell")
     finally:
         be._BACKEND = saved
+
+
+@pytest.mark.parametrize("k", [8, 32])
+def test_spmm_bsr_pallas_interpret(k):
+    import jax
+
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(70 + k).standard_normal(
+        (a.shape[1], k)).astype(np.float32)
+    plan = SpmmPlan(a, "bsr_pallas")
+    y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
+    # alpha/beta epilogue via __call__
+    y0 = np.random.default_rng(71).standard_normal(
+        (a.shape[0], k)).astype(np.float32)
+    out = np.asarray(plan(x, alpha=2.0, beta=-0.5, y=y0))
+    assert rel_err(out, spmm_golden(a, x, alpha=2.0, beta=-0.5, y=y0)) < 2e-5
+
+
+def test_spmm_bsr_pallas_bf16_values():
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(72).standard_normal(
+        (a.shape[1], 8)).astype(np.float32)
+    plan = SpmmPlan(a, "bsr_pallas", value_dtype="bfloat16")
+    assert rel_err(np.asarray(plan(x)), spmm_golden(a, x)) < 2e-2
+
+
+def test_spmm_bsr_pallas_rejects_scattered():
+    scattered = datasets.powerlaw_graph(3000, 4, seed=5, dtype=np.float32)
+    with pytest.raises(ValueError):
+        SpmmPlan(scattered, "bsr_pallas")
+
+
+def test_spmm_wsell_pallas_unroll_guard_falls_back():
+    # K=32 at th=1024/wgroup=4 would unroll ngrp*k=1024 bodies, which
+    # crashes the Mosaic compiler (measured round 3); the plan must refuse
+    # at call time and delegate to the XLA fallback instead.
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(73).standard_normal(
+        (a.shape[1], 32)).astype(np.float32)
+    plan = SpmmPlan(a, "pallas")
+    with pytest.raises(ValueError):
+        plan._pallas._get_call(32)
+    y = np.asarray(plan(x))   # falls back internally
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
 
 
 def test_spmm_pallas_apply_pure_interpret():
