@@ -109,8 +109,10 @@ def main():
         except Exception as e:
             print(f"# sptrsm {name} FAIL: {str(e)[:200]}", flush=True)
 
-    # Config #5 regime: scattered power-law graphs (PSEG fast path)
-    for name, scale in (("uk-2002", 0.01), ("twitter7", 0.004)):
+    # Config #5 regime: scattered power-law graphs (PSEG fast path).
+    # Scales sized so nnz is in the millions — the @0.01/@0.004 round-3
+    # runs were fixed-overhead-bound (65 us for 6 MB of traffic).
+    for name, scale in (("uk-2002", 0.05), ("twitter7", 0.02)):
         if args.quick:
             break
         try:

@@ -60,10 +60,11 @@ def make_kernel(th, sub, wgroup, mode):
             g1 = jnp.take_along_axis(table1, jnp.maximum(c - 128, 0), axis=1)
             vg = v * jnp.where(c < 128, g0, g1)
             # butterfly: lane 8j accumulates its 8-lane segment exactly
+            # pltpu.roll requires shift >= 0; roll(x, 128-s)[l] = x[l+s]
             s = lps
             while s > 1:
                 s //= 2
-                vg = vg + pltpu.roll(vg, -s, 1)
+                vg = vg + pltpu.roll(vg, 128 - s, 1)
             if mode == "roll_gather":
                 idx = jax.lax.broadcasted_iota(jnp.int32, (gh, 128), 1)
                 part = jnp.take_along_axis(vg, (idx % sub) * lps, axis=1)

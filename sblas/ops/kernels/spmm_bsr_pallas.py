@@ -38,6 +38,8 @@ _VMEM_Y_LIMIT = 16 * (1 << 20)
 
 
 def _kernel(br, tb, precision):
+    bf16x3 = precision == "bf16x3"
+
     def kern(brow_ref, bcol_ref, x_ref, blk_ref, out_ref):
         t = pl.program_id(0)
 
@@ -51,8 +53,24 @@ def _kernel(br, tb, precision):
             brw = brow_ref[i]
             a = blk_ref[b * br:(b + 1) * br, :].astype(jnp.float32)
             xa = x_ref[pl.ds(bc * 128, 128), :]
-            p = jnp.dot(a, xa, preferred_element_type=jnp.float32,
-                        precision=precision)
+            if bf16x3:
+                # manual 3-pass f32: a_hi@x_hi + a_hi@x_lo + a_lo@x_hi.
+                # Measured (e11, cant): ~2e-5 closer-than-f32-mul error at
+                # half the MXU passes of HIGHEST (257 vs 361 us at K=8).
+                ah = a.astype(jnp.bfloat16)
+                al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                xh = xa.astype(jnp.bfloat16)
+                xl = (xa - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                de = jax.lax.Precision.DEFAULT
+                p = (jnp.dot(ah, xh, preferred_element_type=jnp.float32,
+                             precision=de)
+                     + jnp.dot(ah, xl, preferred_element_type=jnp.float32,
+                               precision=de)
+                     + jnp.dot(al, xh, preferred_element_type=jnp.float32,
+                               precision=de))
+            else:
+                p = jnp.dot(a, xa, preferred_element_type=jnp.float32,
+                            precision=precision)
             slab = brw * br
             cur = out_ref[pl.ds(slab, br), :]
             out_ref[pl.ds(slab, br), :] = cur + p
@@ -63,7 +81,7 @@ def _kernel(br, tb, precision):
 class PallasSpmmBsr:
     """Dense-block Pallas SpMM executor (fixed K per call; compiled per K)."""
 
-    def __init__(self, a: CSR, *, br: int = 64, tb: int = 8,
+    def __init__(self, a: CSR, *, br: int = 64, tb: int = 16,
                  min_density: float = 0.04, value_dtype=None,
                  precision=None):
         if a.dtype == np.float64:
@@ -87,13 +105,14 @@ class PallasSpmmBsr:
         self.shape = a.shape
         self.dtype = a.dtype
         self.nnz = a.nnz
-        # Mosaic supports only DEFAULT (1 bf16 pass, ~1e-3) and HIGHEST
-        # (~f32) dot precision; f32 values need HIGHEST, bf16 streams are
+        # Mosaic supports only DEFAULT (1 bf16 pass, ~1e-3 rounding) and
+        # HIGHEST (~f32, 6 passes) dot precision. The default for f32
+        # values is a manual 3-pass bf16 split ("bf16x3"): ~7e-6 rel-err at
+        # 1.4x the speed of HIGHEST (measured, e11). bf16 value streams are
         # exact in one DEFAULT pass.
         if precision is None:
             precision = (jax.lax.Precision.DEFAULT
-                         if value_dtype == jnp.bfloat16
-                         else jax.lax.Precision.HIGHEST)
+                         if value_dtype == jnp.bfloat16 else "bf16x3")
         self.precision = precision
 
         nb = bsr.nblocks

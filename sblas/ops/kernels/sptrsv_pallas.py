@@ -458,11 +458,20 @@ def _kernel(th, n_dense):
                 @pl.when((fin == 1) & (dn == 1))
                 def _():
                     # dense-tail block: x_blk = Minv @ (b - acc), one MXU
-                    # (1,128)@(128,128) matvec; b here is raw (inv_diag=1)
+                    # (1,128)@(128,128) matvec; b here is raw (inv_diag=1).
+                    # The (8,16)->(1,128) relayout goes THROUGH the x2d row
+                    # (8 lane-slice stores + one readback): a direct
+                    # jnp.reshape of sublanes into lanes crashes the Mosaic
+                    # compiler (isolated in experiments/e12b, round 3).
                     bv = b_ref[pl.ds(slab, SUBLANES), :]
-                    rhs = (bv - acc_new).reshape(1, LANES)  # slot = s*16+k
+                    rhs = bv - acc_new                    # (8, 16)
+                    for s in range(SUBLANES):
+                        x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                            rhs[s:s + 1, :]
+                        )
+                    xb = x2d_ref[pl.ds(b, 1), :]          # (1, 128)
                     mv = minv_ref[pl.ds(db * LANES, LANES), :]
-                    sv = jnp.dot(rhs, mv,
+                    sv = jnp.dot(xb, mv,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
                     x2d_ref[pl.ds(b, 1), :] = sv

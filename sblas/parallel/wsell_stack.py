@@ -242,9 +242,13 @@ def split_2d_blocks(parts, n_chunk: int, ncols: int):
 
 def pallas_spmm_fits(st: StackedWSell, k: int) -> bool:
     """Does a k-column SpMM fit the per-chip VMEM staging/accumulator
-    budget for this stacked layout? (shared by the 1D and 2D dist plans)"""
+    budget for this stacked layout? (shared by the 1D and 2D dist plans)
+    Also bounds the kernel's ngrp*k static unroll — past ~512 bodies the
+    Mosaic compiler crashes (measured round 3, single-chip K=32)."""
+    ngrp = max((st.th // SUBLANES) // st.wgroup, 1)
     return (k * st.x2d_rows * 128 * 4 <= VMEM_X_LIMIT
-            and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT)
+            and st.y_rows * st.sub * k * 4 <= VMEM_Y_LIMIT
+            and ngrp * k <= 512)
 
 
 def unpad_slots(row_starts: list[int], stride: int) -> np.ndarray:
