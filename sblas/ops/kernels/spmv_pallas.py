@@ -12,9 +12,10 @@ pass over x and y. Per (8 x 128) round inside a tile:
      microbenchmark, experiments/e5); no masking — a round's columns live in
      one panel by construction,
   3. multiply, reduce each row segment's lanes via a constant 0/1 segment
-     matrix on the MXU (precision=HIGHEST: default bf16 rounding of the
-     accumulator costs ~1e-3 rel-err, measured), and accumulate into the
-     round's 8-row slab of the VMEM-resident y.
+     matrix on the MXU — by default as 3 DEFAULT-precision passes over a
+     bf16 hi/mid/lo split of the products (identical error to HIGHEST at
+     ~half the MXU passes; e10c) — and accumulate into the round's 8-row
+     slab of the VMEM-resident y.
 
 XLA's own gather/scatter lowers to ~1 GB/s serial code on TPU (measured), so
 this kernel IS the single-chip fast path; f64 (no Mosaic support) and
@@ -49,7 +50,7 @@ def check_value_dtype(value_dtype):
     return vd
 
 
-def _kernel(th, sub, nwin, wgroup):
+def _kernel(th, sub, nwin, wgroup, dot: str = "split3"):
     lps = LANES // sub
     ns = th // SUBLANES
     ngrp = ns // wgroup
@@ -61,6 +62,7 @@ def _kernel(th, sub, nwin, wgroup):
         seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 0) // lps
                == jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 1)
                ).astype(jnp.float32)
+        segb = seg.astype(jnp.bfloat16)   # 0/1: exact in bf16
 
         @pl.when(t == 0)
         def _():
@@ -83,9 +85,30 @@ def _kernel(th, sub, nwin, wgroup):
                 g1 = jnp.take_along_axis(table1, jnp.maximum(c - 128, 0),
                                          axis=1)
                 g = jnp.where(c < 128, g0, g1)
-            part = jnp.dot(v * g, seg,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (gh, sub)
+            vg = v * g
+            if dot == "split3":
+                # Segment-reduce via 3 DEFAULT MXU passes on a bf16
+                # hi/mid/lo split of vg (seg is 0/1, exact in bf16) —
+                # measured identical error to HIGHEST at ~half the MXU
+                # cost (e10c, round 3). Mosaic has no HIGH precision and
+                # pltpu.roll reductions are 3.6x slower (e10b).
+                de = jax.lax.Precision.DEFAULT
+                hi = vg.astype(jnp.bfloat16)
+                r = vg - hi.astype(jnp.float32)
+                mid = r.astype(jnp.bfloat16)
+                lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                part = (jnp.dot(hi, segb, preferred_element_type=jnp.float32,
+                                precision=de)
+                        + jnp.dot(mid, segb,
+                                  preferred_element_type=jnp.float32,
+                                  precision=de)
+                        + jnp.dot(lo, segb,
+                                  preferred_element_type=jnp.float32,
+                                  precision=de))
+            else:
+                part = jnp.dot(vg, seg,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
             for j in range(wgroup):
                 b = obase_ref[t * ns + q * wgroup + j]
                 slab = b * SUBLANES
@@ -100,9 +123,9 @@ def _kernel(th, sub, nwin, wgroup):
 class PallasSpmv:
     """w-SELL Pallas SpMV executor for one CSR matrix."""
 
-    def __init__(self, a: CSR, *, th: int = 1024, sub: int = 0,
-                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2,
-                 value_dtype=None):
+    def __init__(self, a: CSR, *, th: int = 0, sub: int = 0,
+                 nwin: int = 2, wgroup: int = 8, min_fill: float = 0.2,
+                 value_dtype=None, dot: str = "split3"):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         value_dtype = check_value_dtype(value_dtype)
@@ -114,6 +137,7 @@ class PallasSpmv:
                 f"x ({x_bytes >> 20} MB) exceeds VMEM staging limit; "
                 "use the XLA path or the multi-chip partitioner"
             )
+        self.dot = dot
         w = pack_wsell(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
         if w.y_rows * w.sub * 4 > _VMEM_Y_LIMIT:
             raise ValueError("y exceeds VMEM accumulator limit")
@@ -153,7 +177,7 @@ class PallasSpmv:
         )
 
         return pl.pallas_call(
-            _kernel(w.th, w.sub, w.nwin, w.wgroup),
+            _kernel(w.th, w.sub, w.nwin, w.wgroup, self.dot),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((w.y_rows, w.sub), jnp.float32),
             interpret=interpret,

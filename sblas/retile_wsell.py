@@ -128,6 +128,13 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
     uniq, counts = np.unique(wrow_s, return_counts=True)
     padded = ((counts + wgroup - 1) // wgroup) * wgroup
     R2 = int(padded.sum())
+    if th <= 0:
+        # adaptive tile height: target ~16 grid steps (round-3 e10c: bigger
+        # tiles amortize the ~350 ns step overhead — th=4096 beat th=1024
+        # by 10 us on cant — but a fixed 4096 would pad tiny matrices 5x).
+        ns_t = -(-max(R2, 1) // 16)
+        ns_t = min(4096 // SUBLANES, max(256 // SUBLANES, ns_t))
+        th = (-(-ns_t // wgroup) * wgroup) * SUBLANES
     ns = max(th // SUBLANES, 1)
     T = -(-R2 // ns)
     total = T * ns
@@ -160,9 +167,12 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
     )
 
 
-def pack_wsell(a: CSR, *, th: int = 256, sub: int = 0, nwin: int = 2,
+def pack_wsell(a: CSR, *, th: int = 0, sub: int = 0, nwin: int = 2,
                wgroup: int = 8, cache: bool = True) -> WSell:
     """Pack a CSR matrix into w-SELL v3 tiles.
+
+    ``th`` <= 0 picks the tile height adaptively (~16 grid steps, clamped
+    to [256, 4096] rows; see _finalize_rounds).
 
     ``nwin`` (1 or 2): panels per round window. With 2, a round admits rows
     whose next chunk sits in panel w or w+1 (lcol in [0, 256)), roughly
