@@ -399,14 +399,25 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
     )
 
 
-def _kernel(th, n_dense):
+def _kernel(th, n_dense, k: int = 1):
+    """Wavefront kernel body for k right-hand sides.
+
+    k > 1 runs k solves in one sequential grid pass sharing the schedule
+    stream. Each RHS gets its OWN x2d/acc output refs — ref-granular
+    aliasing lets Mosaic overlap the per-RHS gather/dot chains, which are
+    off the (shared) block-dependency critical path; the solve is
+    latency-bound, not bandwidth-bound (39 GB/s measured), so the extra
+    per-RHS work is nearly free (SURVEY.md §3.3 / round-3 sptrsm finding).
+    """
     ns = th // SUBLANES
 
     def kern(wrow_ref, oblk_ref, final_ref, bfirst_ref,
              dense_ref, dblk_ref, b_ref,
-             val_ref, col_ref, minv_ref, x2d_ref, acc_ref):
-        # acc is an OUTPUT (not scratch): scratch does not persist across
-        # grid steps in interpret mode; outputs do on both paths.
+             val_ref, col_ref, minv_ref, *out_refs):
+        # acc refs are OUTPUTS (not scratch): scratch does not persist
+        # across grid steps in interpret mode; outputs do on both paths.
+        x_refs = out_refs[:k]
+        acc_refs = out_refs[k:]
         t = pl.program_id(0)
 
         seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB), 0) // LPS
@@ -415,8 +426,16 @@ def _kernel(th, n_dense):
 
         @pl.when(t == 0)
         def _():
-            x2d_ref[:] = jnp.zeros_like(x2d_ref)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            for kk in range(k):
+                x_refs[kk][:] = jnp.zeros_like(x_refs[kk])
+                acc_refs[kk][:] = jnp.zeros_like(acc_refs[kk])
+
+        def bval(kk, slab):
+            # b is (nb8, SUB) for k == 1 (the proven single-RHS call
+            # signature) and (k, nb8, SUB) stacked for k > 1
+            if k == 1:
+                return b_ref[pl.ds(slab, SUBLANES), :]
+            return b_ref[kk, pl.ds(slab, SUBLANES), :]
 
         for i in range(ns):
             w = wrow_ref[t * ns + i]
@@ -425,66 +444,76 @@ def _kernel(th, n_dense):
             bfirst = bfirst_ref[t * ns + i]
             v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.float32)
             c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
-            xw = x2d_ref[pl.ds(w, 1), :]
-            tab0 = jnp.broadcast_to(xw, (SUBLANES, 128))
-            xw1 = x2d_ref[pl.ds(w + 1, 1), :]
-            tab1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
-            g0 = jnp.take_along_axis(tab0, jnp.minimum(c, 127), axis=1)
-            g1 = jnp.take_along_axis(tab1, jnp.maximum(c - 128, 0), axis=1)
-            g = jnp.where(c < 128, g0, g1)
-            part = jnp.dot(v * g, seg, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (8, SUB)
+            c0 = jnp.minimum(c, 127)
+            c1 = jnp.maximum(c - 128, 0)
+            sel = c < 128
             slab = b * SUBLANES
-            # first round of a block SETS its slab (no dependence on buffer
-            # init semantics); later rounds accumulate.
-            acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
-            acc_new = jnp.where(bfirst == 1, part, acc_cur + part)
-            acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
+            for kk in range(k):
+                x2d_ref = x_refs[kk]
+                acc_ref = acc_refs[kk]
+                xw = x2d_ref[pl.ds(w, 1), :]
+                tab0 = jnp.broadcast_to(xw, (SUBLANES, 128))
+                xw1 = x2d_ref[pl.ds(w + 1, 1), :]
+                tab1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+                g0 = jnp.take_along_axis(tab0, c0, axis=1)
+                g1 = jnp.take_along_axis(tab1, c1, axis=1)
+                g = jnp.where(sel, g0, g1)
+                part = jnp.dot(v * g, seg,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (8,SUB)
+                # first round of a block SETS its slab (no dependence on
+                # buffer init semantics); later rounds accumulate.
+                acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
+                acc_new = jnp.where(bfirst == 1, part, acc_cur + part)
+                acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
 
-            if n_dense:
-                dn = dense_ref[t * ns + i]
-                db = dblk_ref[t * ns + i]
+                if n_dense:
+                    dn = dense_ref[t * ns + i]
+                    db = dblk_ref[t * ns + i]
 
-                @pl.when((fin == 1) & (dn == 0))
-                def _():
-                    bv = b_ref[pl.ds(slab, SUBLANES), :]  # pre-scaled b/diag
-                    solved = bv - acc_new                 # (8, 16)
-                    # write back as one x2d lane-row: lane l = s*16 + k
-                    for s in range(SUBLANES):
-                        x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
-                            solved[s:s + 1, :]
-                        )
+                    @pl.when((fin == 1) & (dn == 0))
+                    def _(x2d_ref=x2d_ref, acc_new=acc_new, slab=slab,
+                          b=b, kk=kk):
+                        bv = bval(kk, slab)      # pre-scaled b/diag
+                        solved = bv - acc_new    # (8, 16)
+                        # write back as one x2d lane-row: lane l = s*16 + j
+                        for s in range(SUBLANES):
+                            x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                                solved[s:s + 1, :]
+                            )
 
-                @pl.when((fin == 1) & (dn == 1))
-                def _():
-                    # dense-tail block: x_blk = Minv @ (b - acc), one MXU
-                    # (1,128)@(128,128) matvec; b here is raw (inv_diag=1).
-                    # The (8,16)->(1,128) relayout goes THROUGH the x2d row
-                    # (8 lane-slice stores + one readback): a direct
-                    # jnp.reshape of sublanes into lanes crashes the Mosaic
-                    # compiler (isolated in experiments/e12b, round 3).
-                    bv = b_ref[pl.ds(slab, SUBLANES), :]
-                    rhs = bv - acc_new                    # (8, 16)
-                    for s in range(SUBLANES):
-                        x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
-                            rhs[s:s + 1, :]
-                        )
-                    xb = x2d_ref[pl.ds(b, 1), :]          # (1, 128)
-                    mv = minv_ref[pl.ds(db * LANES, LANES), :]
-                    sv = jnp.dot(xb, mv,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                    x2d_ref[pl.ds(b, 1), :] = sv
-            else:
-                @pl.when(fin == 1)
-                def _():
-                    bv = b_ref[pl.ds(slab, SUBLANES), :]  # pre-scaled b/diag
-                    solved = bv - acc_new                 # (8, 16)
-                    # write back as one x2d lane-row: lane l = s*16 + k
-                    for s in range(SUBLANES):
-                        x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
-                            solved[s:s + 1, :]
-                        )
+                    @pl.when((fin == 1) & (dn == 1))
+                    def _(x2d_ref=x2d_ref, acc_new=acc_new, slab=slab,
+                          b=b, kk=kk, db=db):
+                        # dense-tail block: x_blk = Minv @ (b - acc), one
+                        # MXU (1,128)@(128,128) matvec; b here is raw
+                        # (inv_diag=1). The (8,16)->(1,128) relayout goes
+                        # THROUGH the x2d row (8 lane-slice stores + one
+                        # readback): a direct jnp.reshape of sublanes into
+                        # lanes crashes the Mosaic compiler (experiments/
+                        # e12b, round 3).
+                        bv = bval(kk, slab)
+                        rhs = bv - acc_new                    # (8, 16)
+                        for s in range(SUBLANES):
+                            x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                                rhs[s:s + 1, :]
+                            )
+                        xb = x2d_ref[pl.ds(b, 1), :]          # (1, 128)
+                        mv = minv_ref[pl.ds(db * LANES, LANES), :]
+                        sv = jnp.dot(xb, mv,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+                        x2d_ref[pl.ds(b, 1), :] = sv
+                else:
+                    @pl.when(fin == 1)
+                    def _(x2d_ref=x2d_ref, acc_new=acc_new, slab=slab,
+                          b=b, kk=kk):
+                        bv = bval(kk, slab)      # pre-scaled b/diag
+                        solved = bv - acc_new    # (8, 16)
+                        for s in range(SUBLANES):
+                            x2d_ref[pl.ds(b, 1), s * SUB:(s + 1) * SUB] = (
+                                solved[s:s + 1, :]
+                            )
 
     return kern
 
@@ -525,10 +554,32 @@ class PallasSptrsv:
         self._perm = jnp.asarray(lay.perm)
         self._unperm = jnp.asarray(lay.slot_of_row)
         # b layout map: b2d[blk*8+s, k] = b_perm[blk*128 + s*16 + k]
-        self._call = self._build()
+        self._kcalls = {}
+        self._call = self._build(1)
 
-    def _build(self):
+    # per-call multi-RHS cap: ns * k unrolled bodies must stay inside the
+    # Mosaic compile budget (~512 measured for the spmm kernel family)
+    MAX_RHS = 8
+
+    def _build(self, k: int):
+        if k in self._kcalls:
+            return self._kcalls[k]
         lay = self.layout
+        if k > self.MAX_RHS:
+            raise ValueError(f"k={k} exceeds MAX_RHS={self.MAX_RHS}")
+        # Scoped-VMEM estimate. Besides the k x2d/acc/b buffers, Mosaic
+        # keeps the unrolled rounds' temporaries on the VMEM stack — the
+        # dominant term for deep tilings (measured: 21 MB at ns=32, k=8 on
+        # a 22k-round band factor, vs the 16 MB hardware limit).
+        ns = lay.th // SUBLANES
+        per_rhs = (lay.x2d_rows * 128
+                   + 2 * (lay.num_blocks + 1) * 128) * 4
+        stack_est = ns * k * (SUBLANES * 128 * 4) * 5
+        if k > 1 and (k * per_rhs + lay.minvT.size * 4 + stack_est
+                      > 14 * (1 << 20)):
+            raise ValueError(
+                f"k={k} RHS exceed the VMEM budget for this level structure"
+            )
         from ...utils.backend import on_cpu
         interpret = on_cpu()
         idx = lambda t, wr, ob, fin, bf, dn, db: (t, 0)
@@ -541,21 +592,25 @@ class PallasSptrsv:
                 pl.BlockSpec((lay.th, LANES), idx),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # minvT whole
             ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # acc
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(2 * k)
             ),
         )
-        return pl.pallas_call(
-            _kernel(lay.th, lay.n_dense),
+        call = pl.pallas_call(
+            _kernel(lay.th, lay.n_dense, k),
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((lay.x2d_rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct(((lay.num_blocks + 1) * SUBLANES, SUB),
-                                     jnp.float32),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((lay.x2d_rows, LANES), jnp.float32)
+                 for _ in range(k)]
+                + [jax.ShapeDtypeStruct(
+                    ((lay.num_blocks + 1) * SUBLANES, SUB), jnp.float32)
+                   for _ in range(k)]
             ),
             interpret=interpret,
         )
+        self._kcalls[k] = call
+        return call
 
     def device_arrays(self):
         return {"wr": self._wr, "ob": self._ob, "fin": self._fin,
@@ -571,6 +626,19 @@ class PallasSptrsv:
                                arrs["bfirst"], arrs["dense"], arrs["dblk"],
                                b2d, arrs["val"], arrs["lcol"], arrs["minvT"])
         return x2d
+
+    def solve_permuted_multi(self, arrs, b3d):
+        """k simultaneous solves sharing one schedule pass: b3d is
+        (k, num_blocks*8, 16) stacked pre-scaled RHS; returns
+        (k, x2d_rows, 128). k <= MAX_RHS; callers chunk larger batches."""
+        k = b3d.shape[0]
+        if k == 1:
+            return self.solve_permuted(arrs, b3d[0])[None]
+        call = self._build(k)
+        outs = call(arrs["wr"], arrs["ob"], arrs["fin"],
+                    arrs["bfirst"], arrs["dense"], arrs["dblk"],
+                    b3d, arrs["val"], arrs["lcol"], arrs["minvT"])
+        return jnp.stack(outs[:k])
 
     def b_to_b2d(self, b: np.ndarray) -> np.ndarray:
         """Host-side permute+pad+diag-scale of b (numpy, fast)."""

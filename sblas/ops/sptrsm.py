@@ -80,14 +80,28 @@ class SptrsmPlan:
         self.method = self._sv.method
         self.nlevels = self._sv.nlevels
         self.padding_ratio = self._sv.padding_ratio
+        if self.method == "pallas":
+            p = self._sv._pallas
+            # Jitted ONCE per plan, with the schedule arrays as call
+            # arguments: wrapping a fresh ``functools.partial(f, arrs)`` in
+            # ``jax.jit`` per solve both re-traces every call AND embeds the
+            # MB-scale schedule stream as HLO constants shipped to the axon
+            # remote compiler (DESIGN.md) — measured 35 s/solve before this.
+            self._solve_chunk = jax.jit(p.solve_permuted_multi)
+            self._solve_chunks = jax.jit(
+                lambda arrs, bks: lax.map(
+                    lambda bk: p.solve_permuted_multi(arrs, bk), bks))
+            self._kc = None  # chunk width settled by the first solve
 
     def bytes_per_iter(self, k: int) -> int:
         """Traffic model for one K-column solve."""
         sv = self._sv.bytes_per_iter
         rhs = self.shape[0] * 2 * np.dtype(self.dtype).itemsize
         if self.method == "pallas":
-            # schedule re-streamed per column; b/x also scale with k
-            return sv * k
+            # schedule re-streamed once per MAX_RHS-column chunk; b/x
+            # traffic scales with k
+            nchunk = -(-k // self._sv._pallas.MAX_RHS)
+            return sv * nchunk + rhs * (k - nchunk)
         # tiles: index/value stream read once, b/x traffic scales with k
         return sv + rhs * (k - 1)
 
@@ -127,8 +141,13 @@ class SptrsmPlan:
 
     def _pallas_call(self, b):
         """Permuted-space batched solve: host permute of all K columns at
-        once, then one jitted computation running K wavefronts (lax.map over
-        a single pallas_call — one dispatch, one compile)."""
+        once, then lane-parallel wavefronts in chunks of MAX_RHS columns.
+
+        Each chunk is ONE pallas_call solving its columns simultaneously —
+        per-RHS x2d/acc refs let Mosaic overlap the per-column gather/dot
+        chains, which sit off the shared block-dependency critical path
+        (the solve is latency-bound: 39 GB/s measured round 3, where
+        lax.map over single-RHS solves cost exactly K x the SpTRSV time)."""
         p = self._sv._pallas
         lay = p.layout
         k = b.shape[1]
@@ -136,13 +155,39 @@ class SptrsmPlan:
         b_pad = np.zeros((lay.num_blocks * 128, k), dtype=np.float32)
         b_pad[np.asarray(lay.slot_of_row)] = b_np
         # (k, num_blocks*8, 16), pre-scaled by 1/diag
-        b2d_k = (b_pad.T.reshape(k, lay.num_blocks * SUBLANES, SUB)
-                 * np.asarray(lay.inv_diag)[None])
+        b2d_full = (b_pad.T.reshape(k, lay.num_blocks * SUBLANES, SUB)
+                    * np.asarray(lay.inv_diag)[None])
         arrs = p.device_arrays()
 
-        solve1 = functools.partial(p.solve_permuted, arrs)
-        x2d_k = jax.jit(lambda bk: lax.map(solve1, bk))(jnp.asarray(b2d_k))
-        flat = np.asarray(x2d_k)[:, : lay.num_blocks].reshape(k, -1)
+        # Chunk width degrades 8 -> 4 -> 2 -> 1 on the FIRST solve only
+        # (settled width memoized in self._kc): the host-side VMEM guard
+        # catches most oversized cases up front (ValueError), and the Mosaic
+        # scoped-VMEM stack estimate is approximate, so a compile-time OOM
+        # from the remote compiler (RuntimeError family) also degrades.
+        widths = ((self._kc,) if self._kc else (p.MAX_RHS, 4, 2, 1))
+        for kc in widths:
+            try:
+                b2d_k = b2d_full
+                pad_k = (-k) % kc if k > kc else 0
+                if pad_k:
+                    b2d_k = np.concatenate(
+                        [b2d_k,
+                         np.zeros((pad_k,) + b2d_k.shape[1:], np.float32)])
+                if b2d_k.shape[0] <= kc:
+                    x2d_k = self._solve_chunk(arrs, jnp.asarray(b2d_k))
+                else:
+                    chunks = b2d_k.reshape(-1, kc, *b2d_k.shape[1:])
+                    # (nc, kc, rows, 128)
+                    out = self._solve_chunks(arrs, jnp.asarray(chunks))
+                    x2d_k = out.reshape(-1, out.shape[2], out.shape[3])
+                x2d_k = np.asarray(x2d_k)
+                self._kc = kc
+                break
+            except Exception:  # noqa: BLE001 — degrade on VMEM OOM
+                if kc == 1:
+                    raise
+                continue
+        flat = x2d_k[:k, : lay.num_blocks].reshape(k, -1)
         return jnp.asarray(
             flat[:, np.asarray(lay.slot_of_row)].T.astype(self.dtype)
         )

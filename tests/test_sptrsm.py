@@ -45,6 +45,19 @@ def test_sptrsm_pallas_batched():
     assert rel_err(x, sptrsm_golden(l, b)) < 2e-4
 
 
+def test_sptrsm_pallas_chunked():
+    """k > MAX_RHS pads to whole chunks and lax.maps the lane-parallel
+    wavefront over them."""
+    l = datasets.lower_triangular(600, 5, bandwidth=80, seed=7,
+                                  dtype=np.float32)
+    k = 11   # pads to 2 chunks of 8
+    b = np.random.default_rng(8).standard_normal((l.shape[0], k)).astype(
+        np.float32)
+    plan = SptrsmPlan(l, method="pallas")
+    x = np.asarray(plan(b))
+    assert rel_err(x, sptrsm_golden(l, b)) < 2e-4
+
+
 def test_sptrsm_matches_columnwise_sptrsv():
     l = datasets.lower_triangular(180, 5, seed=4, dtype=np.float32)
     b = np.random.default_rng(3).standard_normal((180, 3)).astype(np.float32)
