@@ -106,7 +106,7 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
     if m != n:
         raise ValueError("bench uses square matrices")
     with jax.profiler.TraceAnnotation("retile"):
-        plan = SpmmPlan(a, method, value_dtype=value_dtype)
+        plan = SpmmPlan(a, method, value_dtype=value_dtype, k_hint=k)
     rng = np.random.default_rng(0)
     with jax.profiler.TraceAnnotation("H2D"):
         x0 = jnp.asarray(rng.standard_normal((n, k)).astype(a.dtype))

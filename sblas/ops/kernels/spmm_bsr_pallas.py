@@ -35,6 +35,185 @@ from ...retile_bsr import pack_bsr, bsr_stats
 
 _VMEM_X_LIMIT = 16 * (1 << 20)
 _VMEM_Y_LIMIT = 16 * (1 << 20)
+# Transposed kernel: Xt + Yt live whole in VMEM as (k, cols)/(k, rows);
+# measured compile bracket on v5e: 13.95 MB works (pwtk k8), 15.99 MB
+# crashes the remote Mosaic compiler (cant k32) — ceiling set between them.
+_VMEM_T_LIMIT = int(14.5 * (1 << 20))
+
+
+def _kernel_t(tb, k, precision):
+    """Transposed-operand kernel: K on sublanes, columns on lanes.
+
+    e13 measured the production (rows, K) layout at K=8 wasting 15/16 lanes
+    of every vreg (xa slice 16 vregs, Y RMW 8 vregs each way) — 53-69% of
+    STREAM while the block DMA alone runs at 793 GB/s. With Xt (k, cols) and
+    Yt (k, rows) and blocks stored transposed (128, 128):
+
+        xa  = xt[:, bc*128 : +128]      (8,128) slice = 1 vreg per 8 rows
+        p   = dot(xa, At_b)             MXU, full 128 lanes
+        rmw = yt[:, brw*128 : +128]     1 vreg per 8 rows
+
+    which runs AT the DMA roofline (e13b/e13c: cant 206 us/778 GB/s, consph
+    270 us/794 GB/s, pdb1HYS K=32 192 us/1314 GFLOP/s). k is processed in
+    sublane slices of 8 — every tensor op keeps the proven-to-compile
+    shapes regardless of K.
+    """
+    bf16x3 = precision == "bf16x3"
+    de = jax.lax.Precision.DEFAULT
+
+    def kern(brow_ref, bcol_ref, xt_ref, at_ref, out_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for b in range(tb):
+            i = t * tb + b
+            bc = bcol_ref[i]
+            brw = brow_ref[i]
+            ab = at_ref[b * 128:(b + 1) * 128, :]
+            if bf16x3:
+                af = ab.astype(jnp.float32)
+                ah = af.astype(jnp.bfloat16)
+                al = (af - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            for s in range(k // 8):
+                xa = xt_ref[s * 8:(s + 1) * 8, pl.ds(bc * 128, 128)]
+                if bf16x3:
+                    xh = xa.astype(jnp.bfloat16)
+                    xl = (xa - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    p = (jnp.dot(xh, ah, preferred_element_type=jnp.float32,
+                                 precision=de)
+                         + jnp.dot(xh, al,
+                                   preferred_element_type=jnp.float32,
+                                   precision=de)
+                         + jnp.dot(xl, ah,
+                                   preferred_element_type=jnp.float32,
+                                   precision=de))
+                else:
+                    p = jnp.dot(xa, ab.astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+                cur = out_ref[s * 8:(s + 1) * 8, pl.ds(brw * 128, 128)]
+                out_ref[s * 8:(s + 1) * 8, pl.ds(brw * 128, 128)] = cur + p
+
+    return kern
+
+
+class PallasSpmmBsrT:
+    """Transposed-operand dense-block Pallas SpMM (br = bc = 128).
+
+    The fast path for K <= the VMEM ceiling (~15.5 MB of Xt+Yt, i.e. K=8/16
+    everywhere and K=32 up to ~40k-row matrices); callers fall back to
+    ``PallasSpmmBsr`` (rows, K) past it."""
+
+    def __init__(self, a: CSR, *, tb: int = 16, min_density: float = 0.04,
+                 value_dtype=None, precision=None):
+        if a.dtype == np.float64:
+            raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        from .spmv_pallas import check_value_dtype
+
+        value_dtype = check_value_dtype(value_dtype)
+        self.value_dtype = value_dtype
+        m, n = a.shape
+        st = bsr_stats(a, br=128, bc=128)
+        if st["density"] < min_density:
+            raise ValueError(
+                f"BSR density {st['density']:.3f} below {min_density} "
+                "(scattered matrix); use the w-SELL/PSEG paths"
+            )
+        bsr = pack_bsr(a, br=128, bc=128)
+        self.bsr = bsr
+        self.tb = tb
+        self.density = bsr.density
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        if precision is None:
+            precision = (jax.lax.Precision.DEFAULT
+                         if value_dtype == jnp.bfloat16 else "bf16x3")
+        self.precision = precision
+
+        nb = bsr.nblocks
+        T = -(-nb // tb)
+        total = T * tb
+        at = np.zeros((total * 128, 128), np.float32)
+        at[: nb * 128] = bsr.blocks.transpose(0, 2, 1).reshape(nb * 128, 128)
+        brow = np.zeros(total, np.int32)
+        bcol = np.zeros(total, np.int32)
+        brow[:nb] = bsr.brow
+        bcol[:nb] = bsr.bcol
+        brow[nb:] = bsr.num_brows - 1
+        self.num_tiles = T
+        self.bytes_per_iter = (at.size * value_dtype.itemsize + total * 8)
+        self._at = jnp.asarray(at).astype(value_dtype)
+        self._brow = jnp.asarray(brow)
+        self._bcol = jnp.asarray(bcol)
+        self._calls = {}
+
+    def _kpad(self, k: int) -> int:
+        return -(-k // 8) * 8
+
+    def _get_call(self, k: int):
+        kp = self._kpad(k)
+        if kp in self._calls:
+            return self._calls[kp]
+        bsr = self.bsr
+        vmem = kp * (bsr.num_bcols + bsr.num_brows) * 128 * 4
+        if vmem > _VMEM_T_LIMIT:
+            raise ValueError(
+                f"Xt+Yt ({vmem >> 20} MB at k={kp}) exceed the transposed-"
+                "kernel VMEM ceiling; use the (rows, K) BSR path"
+            )
+        from ...utils.backend import on_cpu
+        interpret = on_cpu()
+        call = pl.pallas_call(
+            _kernel_t(self.tb, kp, self.precision),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(self.num_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                    pl.BlockSpec((self.tb * 128, 128),
+                                 lambda t, br_, bc_: (t, 0)),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (kp, bsr.num_brows * 128), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * self.num_tiles * self.tb * 128 * 128 * kp),
+                bytes_accessed=int(self.bytes_per_iter + vmem),
+                transcendentals=0,
+            ),
+        )
+        self._calls[kp] = call
+        return call
+
+    def device_arrays(self):
+        return {"brow": self._brow, "bcol": self._bcol, "at": self._at}
+
+    def apply_pure(self, arrs, x):
+        m, n = self.shape
+        k = x.shape[1]
+        kp = self._kpad(k)
+        call = self._get_call(k)
+        pad = self.bsr.num_bcols * 128 - n
+        xt = jnp.pad(x.astype(jnp.float32),
+                     ((0, pad), (0, kp - k))).T        # (kp, cols)
+        yt = call(arrs["brow"], arrs["bcol"], xt, arrs["at"])
+        return yt[:k, :m].T.astype(self.dtype)
+
+    def apply_traced(self, x):
+        return self.apply_pure(self.device_arrays(), x)
+
+    def __call__(self, x, alpha, beta, y, with_y):
+        out = self.apply_traced(x)
+        out = alpha.astype(out.dtype) * out
+        if with_y:
+            out = out + beta.astype(out.dtype) * y
+        return out
 
 
 def _kernel(br, tb, precision):

@@ -72,7 +72,7 @@ class SpmmPlan:
 
     def __init__(self, a, method: str = "auto", *,
                  max_width: int = 2048, intermediate_mb: int = 32,
-                 value_dtype=None):
+                 value_dtype=None, k_hint: int | None = None):
         from .common import as_csr
 
         a = as_csr(a)
@@ -83,15 +83,26 @@ class SpmmPlan:
         self._intermediate = intermediate_mb * (1 << 20)
         auto = method == "auto"
         if auto:
-            method = self._pick(a)
+            method = self._pick(a, k_hint)
         # pallas-family plans keep the CSR so call-time VMEM/K limits can
         # fall back to an XLA plan instead of crashing (per-K compiles mean
         # some limits are only knowable at call time).
-        self._csr = a if method in ("pallas", "pseg", "bsr_pallas") else None
+        self._csr = a if method in ("pallas", "pseg", "bsr_pallas",
+                                    "bsr_pallas_t") else None
         self._fb = None
+        if method == "bsr_pallas_t" and auto:
+            # auto chain: transposed dense-block BSR (DMA-roofline; e13b)
+            # -> (rows,K) BSR -> w-SELL -> PSEG (scattered) -> XLA
+            try:
+                from .kernels.spmm_bsr_pallas import PallasSpmmBsrT
+
+                self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype)
+                self.method = "bsr_pallas_t"
+                self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+                return
+            except ValueError:
+                method = "bsr_pallas"
         if method == "bsr_pallas" and auto:
-            # auto chain: dense-block BSR (MXU dots, no gather; FEM suite)
-            # -> w-SELL -> PSEG (scattered) -> XLA
             try:
                 from .kernels.spmm_bsr_pallas import PallasSpmmBsr
 
@@ -160,6 +171,11 @@ class SpmmPlan:
 
             self._pallas = PallasSpmmBsr(a, value_dtype=value_dtype)
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+        elif method == "bsr_pallas_t":
+            from .kernels.spmm_bsr_pallas import PallasSpmmBsrT
+
+            self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype)
+            self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmm method {method!r}")
 
@@ -174,11 +190,21 @@ class SpmmPlan:
         return "ell" if mx <= 4 * max(mean, 1.0) else "bucket"
 
     @staticmethod
-    def _pick(a: CSR) -> str:
+    def _pick(a: CSR, k_hint: int | None = None) -> str:
         from ..utils.backend import on_cpu
 
         if a.dtype != np.float64 and not on_cpu():
-            return "bsr_pallas"
+            if k_hint is not None:
+                # transposed kernel holds Xt+Yt whole in VMEM; past the
+                # measured compile ceiling go straight to the (rows,K) BSR
+                from .kernels.spmm_bsr_pallas import _VMEM_T_LIMIT
+
+                m, n = a.shape
+                kp = -(-k_hint // 8) * 8
+                vmem = kp * (-(-n // 128) + -(-m // 128)) * 128 * 4
+                if vmem > _VMEM_T_LIMIT:
+                    return "bsr_pallas"
+            return "bsr_pallas_t"
         return SpmmPlan._xla_heuristic(a)
 
     def device_arrays(self):
@@ -228,7 +254,7 @@ class SpmmPlan:
             flat = jnp.concatenate(partials)
             return jnp.zeros((m + 1, k),
                              dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
-        if self.method in ("pallas", "pseg", "bsr_pallas"):
+        if self.method in ("pallas", "pseg", "bsr_pallas", "bsr_pallas_t"):
             return self._pallas.apply_pure(arrs, x)
         meta = self._bsr_meta
         pad = meta.num_bcols * meta.bc - self.shape[1]
@@ -297,14 +323,26 @@ class SpmmPlan:
             return out
         try:
             return self._pallas(x, al, be, yv, with_y)
-        except ValueError:
-            # per-K limits (VMEM staging, unroll size) surface at call time;
-            # delegate to a lazily-built XLA plan instead of crashing
+        except (ValueError, RuntimeError):
+            # per-K limits (VMEM staging, unroll size) surface at call time
+            # as ValueError from the host-side guards or — when an estimate
+            # is off — as a Mosaic compile RuntimeError;
+            # delegate to a lazily-built fallback plan instead of crashing.
+            # The transposed BSR path degrades to the (rows, K) BSR kernel
+            # (still Pallas/MXU: cant K=32 at 88% of STREAM) before XLA.
             if self._csr is None:
                 raise
             if self._fb is None:
-                self._fb = SpmmPlan(self._csr,
-                                    self._xla_heuristic(self._csr))
+                if self.method == "bsr_pallas_t":
+                    try:
+                        self._fb = SpmmPlan(
+                            self._csr, "bsr_pallas",
+                            value_dtype=self._value_dtype)
+                    except ValueError:
+                        pass
+                if self._fb is None:
+                    self._fb = SpmmPlan(self._csr,
+                                        self._xla_heuristic(self._csr))
             return self._fb(x, alpha, beta, y)
 
 

@@ -83,8 +83,11 @@ def test_spmm_auto_pallas_on_accelerator():
     saved = be._BACKEND
     be._BACKEND = "tpu"
     try:
-        assert SpmmPlan(a, "auto").method == "bsr_pallas"
+        assert SpmmPlan(a, "auto").method == "bsr_pallas_t"
         assert SpmmPlan(scattered, "auto").method in ("bucket", "ell")
+        # a k hint past the transposed kernel's VMEM ceiling routes to the
+        # (rows, K) BSR kernel up front
+        assert SpmmPlan(a, "auto", k_hint=8192).method == "bsr_pallas"
     finally:
         be._BACKEND = saved
 
@@ -112,6 +115,45 @@ def test_spmm_bsr_pallas_bf16_values():
         (a.shape[1], 8)).astype(np.float32)
     plan = SpmmPlan(a, "bsr_pallas", value_dtype="bfloat16")
     assert rel_err(np.asarray(plan(x)), spmm_golden(a, x)) < 2e-2
+
+
+@pytest.mark.parametrize("k", [5, 8, 32])
+def test_spmm_bsr_pallas_t_interpret(k):
+    import jax
+
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(80 + k).standard_normal(
+        (a.shape[1], k)).astype(np.float32)
+    plan = SpmmPlan(a, "bsr_pallas_t")
+    y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
+    y0 = np.random.default_rng(81).standard_normal(
+        (a.shape[0], k)).astype(np.float32)
+    out = np.asarray(plan(x, alpha=2.0, beta=-0.5, y=y0))
+    assert rel_err(out, spmm_golden(a, x, alpha=2.0, beta=-0.5, y=y0)) < 2e-5
+
+
+def test_spmm_bsr_pallas_t_bf16_values():
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    x = np.random.default_rng(82).standard_normal(
+        (a.shape[1], 8)).astype(np.float32)
+    plan = SpmmPlan(a, "bsr_pallas_t", value_dtype="bfloat16")
+    assert rel_err(np.asarray(plan(x)), spmm_golden(a, x)) < 2e-2
+
+
+def test_spmm_bsr_pallas_t_vmem_guard_falls_back():
+    # Xt+Yt whole-in-VMEM past ~15.5 MB crashes the Mosaic compiler
+    # (e13b/e13c); the guard must refuse per-K and __call__ must degrade to
+    # the (rows, K) BSR kernel, not XLA.
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    plan = SpmmPlan(a, "bsr_pallas_t")
+    with pytest.raises(ValueError):
+        plan._pallas._get_call(8192)
+    x = np.random.default_rng(83).standard_normal(
+        (a.shape[1], 2048)).astype(np.float32)
+    y = np.asarray(plan(x))   # falls back internally
+    assert plan._fb is not None and plan._fb.method == "bsr_pallas"
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
 
 
 def test_spmm_bsr_pallas_rejects_scattered():
