@@ -77,10 +77,15 @@ def main():
             except Exception as e:
                 print(f"# spmm {name} k={k} FAIL: {str(e)[:200]}", flush=True)
 
-    # Config #3: SpTRSV on a Cholesky-like factor + parallel band
+    # Config #3: SpTRSV on a Cholesky-like factor + parallel band.
+    # compare_reference only on cases whose jnp-loop reference executes in
+    # seconds: one reference application is O(nlevels * ell_width * n) of
+    # serial TPU gathers, and a single multi-minute device program gets the
+    # axon worker killed server-side (observed: chol-nd-120 with reference
+    # crashed the worker twice; without it, runs in 0.55 ms).
     tri_cases = [
         ("band-parallel", datasets.lower_triangular(
-            62451, 30, bandwidth=4000, seed=1, dtype=np.float32)),
+            62451, 30, bandwidth=4000, seed=1, dtype=np.float32), True),
     ]
     if not args.quick:
         # nested-dissection ordered: the realistic fill-reducing regime
@@ -88,18 +93,22 @@ def main():
         spd = datasets.poisson2d_nd(120, dtype=np.float64)
         tri_cases.append(
             ("chol-nd-poisson2d-120",
-             datasets.cholesky_factor(spd, dtype=np.float32)))
-    for name, l in tri_cases:
+             datasets.cholesky_factor(spd, dtype=np.float32), False))
+        spd60 = datasets.poisson2d_nd(60, dtype=np.float64)
+        tri_cases.append(
+            ("chol-nd-poisson2d-60",
+             datasets.cholesky_factor(spd60, dtype=np.float32), True))
+    for name, l, ref in tri_cases:
         try:
-            rec = bench_lib.bench_sptrsv(l, iters=10,
-                                         compare_reference=args.quick is False)
+            rec = bench_lib.bench_sptrsv(
+                l, iters=10, compare_reference=ref and not args.quick)
             rec.extra["matrix"] = name
             emit(rec)
         except Exception as e:
             print(f"# sptrsv {name} FAIL: {str(e)[:200]}", flush=True)
 
     # SpTRSM: K RHS over the same factors (analysis shared with SpTRSV)
-    for name, l in tri_cases:
+    for name, l, _ref in tri_cases:
         if args.quick:
             break
         try:

@@ -69,6 +69,19 @@ def stream_only_call(p: PallasSpmmBsr):
 
 
 def main():
+    import threading
+    import time as _time
+
+    print(f"# devices {jax.devices()}", flush=True)
+
+    def _beat():
+        i = 0
+        while True:
+            _time.sleep(60)
+            i += 1
+            print(f"# [beat {i}]", flush=True)
+
+    threading.Thread(target=_beat, daemon=True).start()
     sbw = stream_bandwidth()
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
     k = 8

@@ -274,20 +274,29 @@ def bench_sptrsm(l: CSR, k: int = 8, *, validate: bool = True,
 
     if plan.method == "pallas":
         # measure the on-chip batched wavefront (host-side permutes, as in
-        # bench_sptrsv)
+        # bench_sptrsv): chunks of the lane-parallel multi-RHS kernel at the
+        # chunk width the plan settled on (a first solve settles it)
         p = plan._sv._pallas
         lay = p.layout
         arrs = p.device_arrays()
-        b_pad = np.zeros((lay.num_blocks * 128, k), dtype=np.float32)
-        b_pad[np.asarray(lay.slot_of_row)] = np.asarray(b0, dtype=np.float32)
+        if plan._kc is None:
+            plan(b0)
+        kc = plan._kc or 1
+        kp = -(-k // kc) * kc
+        b_pad = np.zeros((lay.num_blocks * 128, kp), dtype=np.float32)
+        b_pad[np.asarray(lay.slot_of_row), :k] = np.asarray(
+            b0, dtype=np.float32)
         b2dk0 = jnp.asarray(
-            b_pad.T.reshape(k, -1, 16) * np.asarray(lay.inv_diag)[None]
+            (b_pad.T.reshape(kp, -1, 16)
+             * np.asarray(lay.inv_diag)[None]).reshape(
+                kp // kc, kc, -1, 16)
         )
+        extra["chunk_width"] = kc
 
-        def step(carry, arrs, b2dk):
-            x2dk = lax.map(lambda b2d: p.solve_permuted(arrs, b2d),
-                           b2dk + carry * _EPS)
-            return jnp.float32(_EPS) * x2dk[0, 0, 0]
+        def step(carry, arrs, chunks):
+            x = lax.map(lambda bk: p.solve_permuted_multi(arrs, bk),
+                        chunks + carry * _EPS)
+            return jnp.float32(_EPS) * x[0, 0, 0, 0]
 
         per = measure_seconds_per_iter(step, jnp.float32(0.0), arrs, b2dk0,
                                        iters_lo=max(iters // 5, 2),

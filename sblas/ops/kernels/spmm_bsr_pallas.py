@@ -103,12 +103,16 @@ def _kernel_t(tb, k, precision):
 class PallasSpmmBsrT:
     """Transposed-operand dense-block Pallas SpMM (br = bc = 128).
 
-    The fast path for K <= the VMEM ceiling (~15.5 MB of Xt+Yt, i.e. K=8/16
-    everywhere and K=32 up to ~40k-row matrices); callers fall back to
-    ``PallasSpmmBsr`` (rows, K) past it."""
+    Xt lives whole in VMEM; Yt is split across ``R`` block-row ranges, each
+    its own pallas_call over its slice of the (brow-sorted) block stream, so
+    that Xt + Yt/R stays under the measured compile ceiling. R = 1 for
+    K=8/16 everywhere; K=32 on mid-size matrices pays (R-1) extra Xt reads
+    (counted in bytes_per_iter) instead of falling off the roofline. When
+    Xt ALONE exceeds the ceiling, construction/``_get_calls`` raise and
+    callers fall back to ``PallasSpmmBsr`` (rows, K)."""
 
     def __init__(self, a: CSR, *, tb: int = 16, min_density: float = 0.04,
-                 value_dtype=None, precision=None):
+                 value_dtype=None, precision=None, k_hint: int = 8):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype
@@ -134,75 +138,127 @@ class PallasSpmmBsrT:
                          if value_dtype == jnp.bfloat16 else "bf16x3")
         self.precision = precision
 
+        kp = self._kpad(k_hint)
+        self.R, self._range_brows = self._plan_ranges(kp)
+        self._kp_built = kp
+
+        # per-range streams: blocks are brow-sorted, so each range is a
+        # contiguous slice, padded to a tb multiple; brow indices are local
+        # to the range (out block-row 0 = range start)
+        ats, brows, bcols, tiles = [], [], [], []
         nb = bsr.nblocks
-        T = -(-nb // tb)
-        total = T * tb
-        at = np.zeros((total * 128, 128), np.float32)
-        at[: nb * 128] = bsr.blocks.transpose(0, 2, 1).reshape(nb * 128, 128)
-        brow = np.zeros(total, np.int32)
-        bcol = np.zeros(total, np.int32)
-        brow[:nb] = bsr.brow
-        bcol[:nb] = bsr.bcol
-        brow[nb:] = bsr.num_brows - 1
-        self.num_tiles = T
-        self.bytes_per_iter = (at.size * value_dtype.itemsize + total * 8)
-        self._at = jnp.asarray(at).astype(value_dtype)
-        self._brow = jnp.asarray(brow)
-        self._bcol = jnp.asarray(bcol)
+        lo = 0
+        base = 0
+        total_blocks = 0
+        for rb in self._range_brows:
+            hi = int(np.searchsorted(bsr.brow, base + rb))
+            cnt = hi - lo
+            T = max(-(-cnt // tb), 1)
+            tot = T * tb
+            at = np.zeros((tot * 128, 128), np.float32)
+            at[: cnt * 128] = bsr.blocks[lo:hi].transpose(0, 2, 1).reshape(
+                cnt * 128, 128)
+            brow = np.zeros(tot, np.int32)
+            bcol = np.zeros(tot, np.int32)
+            brow[:cnt] = bsr.brow[lo:hi] - base
+            bcol[:cnt] = bsr.bcol[lo:hi]
+            brow[cnt:] = rb - 1
+            ats.append(jnp.asarray(at).astype(value_dtype))
+            brows.append(jnp.asarray(brow))
+            bcols.append(jnp.asarray(bcol))
+            tiles.append(T)
+            total_blocks += tot
+            lo = hi
+            base += rb
+        self._ats = tuple(ats)
+        self._brows = tuple(brows)
+        self._bcols = tuple(bcols)
+        self._tiles = tuple(tiles)
+        xt_bytes = self._kp_built * bsr.num_bcols * 128 * 4
+        self.bytes_per_iter = (
+            total_blocks * 128 * 128 * value_dtype.itemsize
+            + total_blocks * 8
+            + (self.R - 1) * xt_bytes   # Xt re-staged once per extra range
+        )
         self._calls = {}
 
     def _kpad(self, k: int) -> int:
         return -(-k // 8) * 8
 
-    def _get_call(self, k: int):
+    def _plan_ranges(self, kp: int):
+        """Split num_brows into R ranges st Xt + per-range Yt fits."""
+        bsr = self.bsr
+        xt = kp * bsr.num_bcols * 128 * 4
+        budget = _VMEM_T_LIMIT - xt
+        per_brow = kp * 128 * 4
+        if budget < 8 * per_brow:
+            raise ValueError(
+                f"Xt ({xt >> 20} MB at k={kp}) leaves no VMEM for Yt; "
+                "use the (rows, K) BSR path"
+            )
+        rows = min(int(budget // per_brow), bsr.num_brows)
+        R = -(-bsr.num_brows // rows)
+        # equalize: R ranges of ~num_brows/R rows each
+        base = bsr.num_brows // R
+        rem = bsr.num_brows - base * R
+        return R, tuple(base + (1 if i < rem else 0) for i in range(R))
+
+    def _get_calls(self, k: int):
         kp = self._kpad(k)
         if kp in self._calls:
             return self._calls[kp]
-        bsr = self.bsr
-        vmem = kp * (bsr.num_bcols + bsr.num_brows) * 128 * 4
-        if vmem > _VMEM_T_LIMIT:
+        if self._plan_ranges(kp)[0] != self.R:
             raise ValueError(
-                f"Xt+Yt ({vmem >> 20} MB at k={kp}) exceed the transposed-"
-                "kernel VMEM ceiling; use the (rows, K) BSR path"
+                f"k={k} needs a different block-row split (built for "
+                f"k_hint={self._kp_built}); rebuild the plan with k_hint={k}"
             )
         from ...utils.backend import on_cpu
         interpret = on_cpu()
-        call = pl.pallas_call(
-            _kernel_t(self.tb, kp, self.precision),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(self.num_tiles,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
-                    pl.BlockSpec((self.tb * 128, 128),
-                                 lambda t, br_, bc_: (t, 0)),
-                ],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (kp, bsr.num_brows * 128), jnp.float32),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=int(2 * self.num_tiles * self.tb * 128 * 128 * kp),
-                bytes_accessed=int(self.bytes_per_iter + vmem),
-                transcendentals=0,
-            ),
-        )
-        self._calls[kp] = call
-        return call
+        calls = []
+        for T, rb in zip(self._tiles, self._range_brows):
+            calls.append(pl.pallas_call(
+                _kernel_t(self.tb, kp, self.precision),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(T,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                        pl.BlockSpec((self.tb * 128, 128),
+                                     lambda t, br_, bc_: (t, 0)),
+                    ],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((kp, rb * 128), jnp.float32),
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=int(2 * T * self.tb * 128 * 128 * kp),
+                    bytes_accessed=int(
+                        T * self.tb * 128 * 128
+                        * self.value_dtype.itemsize
+                        + kp * (self.bsr.num_bcols + rb) * 128 * 4),
+                    transcendentals=0,
+                ),
+            ))
+        self._calls[kp] = calls
+        return calls
 
     def device_arrays(self):
-        return {"brow": self._brow, "bcol": self._bcol, "at": self._at}
+        return {"brow": self._brows, "bcol": self._bcols, "at": self._ats}
 
     def apply_pure(self, arrs, x):
         m, n = self.shape
         k = x.shape[1]
         kp = self._kpad(k)
-        call = self._get_call(k)
+        calls = self._get_calls(k)
         pad = self.bsr.num_bcols * 128 - n
         xt = jnp.pad(x.astype(jnp.float32),
                      ((0, pad), (0, kp - k))).T        # (kp, cols)
-        yt = call(arrs["brow"], arrs["bcol"], xt, arrs["at"])
+        parts = [
+            call(brow, bcol, xt, at)
+            for call, brow, bcol, at in zip(
+                calls, arrs["brow"], arrs["bcol"], arrs["at"])
+        ]
+        yt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         return yt[:k, :m].T.astype(self.dtype)
 
     def apply_traced(self, x):

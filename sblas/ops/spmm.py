@@ -96,7 +96,8 @@ class SpmmPlan:
             try:
                 from .kernels.spmm_bsr_pallas import PallasSpmmBsrT
 
-                self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype)
+                self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype,
+                                              k_hint=k_hint or 8)
                 self.method = "bsr_pallas_t"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
@@ -174,7 +175,8 @@ class SpmmPlan:
         elif method == "bsr_pallas_t":
             from .kernels.spmm_bsr_pallas import PallasSpmmBsrT
 
-            self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype)
+            self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype,
+                                          k_hint=k_hint or 8)
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmm method {method!r}")
@@ -195,14 +197,15 @@ class SpmmPlan:
 
         if a.dtype != np.float64 and not on_cpu():
             if k_hint is not None:
-                # transposed kernel holds Xt+Yt whole in VMEM; past the
-                # measured compile ceiling go straight to the (rows,K) BSR
+                # transposed kernel holds Xt whole in VMEM (Yt splits into
+                # block-row ranges); when Xt alone leaves no room for even
+                # a small Yt slice, go straight to the (rows, K) BSR
                 from .kernels.spmm_bsr_pallas import _VMEM_T_LIMIT
 
                 m, n = a.shape
                 kp = -(-k_hint // 8) * 8
-                vmem = kp * (-(-n // 128) + -(-m // 128)) * 128 * 4
-                if vmem > _VMEM_T_LIMIT:
+                xt = kp * -(-n // 128) * 128 * 4
+                if _VMEM_T_LIMIT - xt < 8 * kp * 128 * 4:
                     return "bsr_pallas"
             return "bsr_pallas_t"
         return SpmmPlan._xla_heuristic(a)

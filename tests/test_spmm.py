@@ -142,18 +142,42 @@ def test_spmm_bsr_pallas_t_bf16_values():
 
 
 def test_spmm_bsr_pallas_t_vmem_guard_falls_back():
-    # Xt+Yt whole-in-VMEM past ~15.5 MB crashes the Mosaic compiler
-    # (e13b/e13c); the guard must refuse per-K and __call__ must degrade to
-    # the (rows, K) BSR kernel, not XLA.
+    # Xt whole-in-VMEM past the compile ceiling (e13b/e13c) must refuse
+    # per-K and __call__ must degrade to the (rows, K) BSR kernel, not XLA.
     a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
     plan = SpmmPlan(a, "bsr_pallas_t")
     with pytest.raises(ValueError):
-        plan._pallas._get_call(8192)
+        plan._pallas._get_calls(8192)
     x = np.random.default_rng(83).standard_normal(
         (a.shape[1], 2048)).astype(np.float32)
     y = np.asarray(plan(x))   # falls back internally
     assert plan._fb is not None and plan._fb.method == "bsr_pallas"
     assert rel_err(y, spmm_golden(a, x)) < 2e-5
+
+
+def test_spmm_bsr_pallas_t_row_split(monkeypatch):
+    # When Xt + whole Yt would exceed the VMEM ceiling but Xt still fits,
+    # the kernel splits the block stream into block-row ranges (one
+    # pallas_call each) instead of leaving the roofline (cant/consph K=32
+    # regime). Force R > 1 by shrinking the ceiling.
+    import jax
+
+    import sblas.ops.kernels.spmm_bsr_pallas as mod
+
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    k = 8
+    kp = 8
+    npanels = -(-a.shape[1] // 128)
+    xt = kp * npanels * 128 * 4
+    monkeypatch.setattr(mod, "_VMEM_T_LIMIT", xt + 10 * kp * 128 * 4)
+    plan = SpmmPlan(a, "bsr_pallas_t", k_hint=k)
+    assert plan._pallas.R > 1
+    x = np.random.default_rng(84).standard_normal(
+        (a.shape[1], k)).astype(np.float32)
+    y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
+    # bytes model counts the (R-1) extra Xt stagings
+    assert plan.bytes_per_iter_nx > plan._pallas.R // 2 * xt
 
 
 def test_spmm_bsr_pallas_rejects_scattered():
