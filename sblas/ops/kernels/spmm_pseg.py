@@ -65,7 +65,7 @@ def _kernel(th, kc, y_rows):
 class PallasSpmmScattered:
     """PSEG Pallas SpMM executor with hub relabeling (single chip)."""
 
-    def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.25,
+    def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
                  reorder: bool = True, value_dtype=None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")

@@ -87,8 +87,9 @@ def hub_relabel(a: CSR):
 class PallasSpmvScattered:
     """PSEG Pallas SpMV executor with hub relabeling (single chip)."""
 
-    def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.25,
-                 reorder: bool = True, value_dtype=None):
+    def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
+                 reorder: bool = True, value_dtype=None,
+                 divert_below: int = 0):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype
@@ -110,10 +111,13 @@ class PallasSpmvScattered:
             rowperm = np.arange(m, dtype=np.int64)
             ap = a
 
-        w = pack_pseg(ap, th=th)
+        w = pack_pseg(ap, th=th, divert_below=divert_below)
         if w.y_rows * LANES * 4 > _VMEM_Y_LIMIT:
             raise ValueError("y exceeds VMEM accumulator limit")
         if w.fill < min_fill:
+            # even at low fill the kernel streams padding at ~421 GB/s —
+            # orders of magnitude above the XLA bucket fallback — so the
+            # threshold only rejects pathological packings (e14, round 4)
             raise ValueError(
                 f"PSEG fill {w.fill:.2f} below {min_fill} even after hub "
                 "relabeling; use the XLA bucket path"
