@@ -123,8 +123,12 @@ def _kernel(th, sub, nwin, wgroup, dot: str = "split3"):
 class PallasSpmv:
     """w-SELL Pallas SpMV executor for one CSR matrix."""
 
+    # wgroup=4: window runs pad to the group size, and the e15b sweep
+    # (round 4) measured wg4 fastest or within noise on the whole FEM suite
+    # (cant 85.2 -> 69.8 us, pwtk 294.6 -> 213.7 us vs the old wg8) — the
+    # extra slice+gather per 4 rounds costs less than the run padding.
     def __init__(self, a: CSR, *, th: int = 0, sub: int = 0,
-                 nwin: int = 2, wgroup: int = 8, min_fill: float = 0.2,
+                 nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2,
                  value_dtype=None, dot: str = "split3"):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
