@@ -89,10 +89,10 @@ def main():
     print("top nodes:", top.tolist(), [round(float(r[t]), 6) for t in top])
 
     # cross-check the PSEG permuted-space path against the XLA path on a
-    # web-graph emulation (small power-law instances pack below PSEG's
-    # fill floor — round granularity — and are refused by design)
+    # web-graph emulation (tiny instances pack at low fill under the
+    # divert=0 policy — round granularity — harmless at this size)
     gs = datasets.emulate("uk-2002", scale=0.01, dtype=np.float32)
-    r1, _ = pagerank(gs, method="pseg", min_fill=0.15)
+    r1, _ = pagerank(gs, method="pseg", min_fill=0.01)
     r2, _ = pagerank(gs, method="bucket")
     print("pseg-vs-xla max diff:", float(np.abs(r1 - r2).max()))
 

@@ -89,7 +89,7 @@ class PallasSpmvScattered:
 
     def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
                  reorder: bool = True, value_dtype=None,
-                 divert_below: int = 0):
+                 divert_below: int | None = None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype

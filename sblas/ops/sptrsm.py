@@ -98,9 +98,11 @@ class SptrsmPlan:
         sv = self._sv.bytes_per_iter
         rhs = self.shape[0] * 2 * np.dtype(self.dtype).itemsize
         if self.method == "pallas":
-            # schedule re-streamed once per MAX_RHS-column chunk; b/x
-            # traffic scales with k
-            nchunk = -(-k // self._sv._pallas.MAX_RHS)
+            # schedule re-streamed once per chunk (width settled by the
+            # first solve's VMEM degrade; MAX_RHS until then); b/x traffic
+            # scales with k
+            kc = self._kc or self._sv._pallas.MAX_RHS
+            nchunk = -(-k // kc)
             return sv * nchunk + rhs * (k - nchunk)
         # tiles: index/value stream read once, b/x traffic scales with k
         return sv + rhs * (k - 1)

@@ -44,7 +44,29 @@ class DistSpmmPlan:
 
         self._stacked = None
         self.local_method = None
-        if local_method in ("auto", "pallas"):
+        if local_method in ("auto", "bsr_t"):
+            # round-4 fast path: transposed dense-block BSR local bodies
+            # (single-chip DMA-roofline kernel, e13b) — panel-clustered
+            # shards only; falls through to w-SELL/PSEG/ELL otherwise
+            try:
+                from .wsell_stack import stack_bsr_t
+
+                st = stack_bsr_t(part.parts, self.n_pad, a.dtype)
+                self._bsrt = st
+                self._bat = jax.device_put(st.at, sh(P(chips_axis)))
+                self._bbrow = jax.device_put(st.brow, sh(P(chips_axis)))
+                self._bbcol = jax.device_put(st.bcol, sh(P(chips_axis)))
+                from .wsell_stack import unpad_slots
+
+                self._bunpad = jnp.asarray(
+                    unpad_slots(self._row_starts,
+                                st.num_brows * 128).astype(INDEX_DTYPE))
+                self.local_method = "bsr_t"
+                self.bytes_per_iter_nx = st.bytes_per_iter * ndev
+            except ValueError:
+                if local_method == "bsr_t":
+                    raise
+        if self.local_method is None and local_method in ("auto", "pallas"):
             try:
                 from .wsell_stack import stack_wsell
 
@@ -130,17 +152,74 @@ class DistSpmmPlan:
         return st is not None and pallas_spmm_fits(st, k)
 
     def _get_run(self, k: int):
+        from .wsell_stack import bsrt_spmm_fits
+
         if k in self._runs:
             return self._runs[k]
-        if self.local_method == "pallas" and self._pallas_fits(k):
+        if self.local_method == "bsr_t" and bsrt_spmm_fits(self._bsrt, k):
+            run = ("bsr_t", self._build_run_bsrt(k))
+        elif self.local_method == "pallas" and self._pallas_fits(k):
             run = ("pallas", self._build_run_pallas(k))
         elif self.local_method == "pseg":
             run = ("pseg", self._build_run_pseg(k))
         else:
-            if self.local_method == "pallas":
+            if self.local_method in ("pallas", "bsr_t"):
                 self._build_ell()  # VMEM-bound k: lazy XLA fallback
             run = ("ell", self._build_run_ell(k))
         self._runs[k] = run
+        return run
+
+    def _build_run_bsrt(self, k: int):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.kernels.spmm_bsr_pallas import _kernel_t
+        from ..utils.backend import on_cpu
+
+        st = self._bsrt
+        kp = -(-k // 8) * 8
+        n_pad = self.n_pad
+        xpad = st.num_bcols * 128 - n_pad
+        call = pl.pallas_call(
+            _kernel_t(st.tb, kp, "bf16x3"),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(st.num_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                    pl.BlockSpec((st.tb * 128, 128),
+                                 lambda t, br_, bc_: (t, 0)),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((kp, st.num_brows * 128),
+                                           jnp.float32),
+            interpret=on_cpu(),
+        )
+
+        def body(brow, bcol, at, x_shard):
+            with jax.named_scope("collective"):
+                x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
+            xt = jnp.pad(x_full.astype(jnp.float32),
+                         ((0, xpad), (0, kp - k))).T      # (kp, cols)
+            with jax.named_scope("kernel"):
+                yt = call(brow[0], bcol[0], xt, at[0])
+            return yt.T[None]                             # (1, rows, kp)
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(chips_axis),) * 3 + (P(chips_axis, None),),
+            out_specs=P(chips_axis, None, None),
+            check_vma=False,
+        )
+        unpad = self._bunpad
+        dtype = self.dtype
+
+        @jax.jit
+        def run(brow, bcol, at, x_pad):
+            y = fn(brow, bcol, at, x_pad)   # (ndev, rows, kp)
+            return y.reshape(-1, kp)[unpad, :k].astype(dtype)
+
         return run
 
     def _build_run_pseg(self, k: int):
@@ -322,7 +401,9 @@ class DistSpmmPlan:
         x_pad = jnp.zeros((self.n_pad, k), dtype=self.dtype).at[:n].set(x)
         x_pad = jax.device_put(x_pad, self._x_sharding)
         kind, run = self._get_run(k)
-        if kind == "pallas":
+        if kind == "bsr_t":
+            out = run(self._bbrow, self._bbcol, self._bat, x_pad)
+        elif kind == "pallas":
             out = run(self._wr, self._ob, self._pval, self._plcol, x_pad)
         elif kind == "pseg":
             out = run(self._kwr, self._kob, self._kval, self._klcol,

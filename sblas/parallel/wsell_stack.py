@@ -260,3 +260,73 @@ def unpad_slots(row_starts: list[int], stride: int) -> np.ndarray:
         r0, r1 = row_starts[i], row_starts[i + 1]
         slot[r0:r1] = i * stride + np.arange(r1 - r0)
     return slot
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class StackedBsrT:
+    """Per-chip transposed dense-block BSR streams on a common geometry
+    (the round-4 single-chip SpMM fast path — e13b: DMA-roofline — run
+    SPMD inside the shard_map body)."""
+    ndev: int
+    tb: int
+    num_tiles: int        # common tile count (max over chips)
+    num_brows: int        # common per-chip 128-row output blocks
+    num_bcols: int        # panels covering n_pad
+    at: np.ndarray        # (ndev, T*tb*128, 128) f32 transposed blocks
+    brow: np.ndarray      # (ndev, T*tb) int32, chip-local block-row
+    bcol: np.ndarray      # (ndev, T*tb) int32
+    density: float
+    bytes_per_iter: int   # per-chip block-stream bytes
+
+
+def stack_bsr_t(parts: list[CSR], n_pad: int, dtype, *, tb: int = 16,
+                min_density: float = 0.04, k_hint: int = 8) -> StackedBsrT:
+    from ..retile_bsr import pack_bsr
+    from ..ops.kernels.spmm_bsr_pallas import _VMEM_T_LIMIT
+
+    if dtype == np.float64:
+        raise ValueError("Mosaic has no f64; use the XLA dist path")
+    num_bcols = -(-n_pad // 128)
+    bsrs = [pack_bsr(p, br=128, bc=128) for p in parts]
+    total_nnz = sum(b.nnz for b in bsrs)
+    total_area = sum(b.nblocks for b in bsrs) * 128 * 128
+    density = total_nnz / max(total_area, 1)
+    if density < min_density:
+        raise ValueError(
+            f"aggregate BSR density {density:.3f} below {min_density} "
+            "(scattered matrix); use the w-SELL/PSEG dist paths"
+        )
+    num_brows = max(b.num_brows for b in bsrs)
+    kp = -(-k_hint // 8) * 8
+    vmem = kp * (num_bcols + num_brows) * 128 * 4
+    if vmem > _VMEM_T_LIMIT:
+        raise ValueError(
+            f"Xt+Yt ({vmem >> 20} MB at k={kp}) exceed the transposed-"
+            "kernel VMEM ceiling; use the w-SELL dist path"
+        )
+    ndev = len(parts)
+    T = max(max(-(-b.nblocks // tb) for b in bsrs), 1)
+    total = T * tb
+    at = np.zeros((ndev, total * 128, 128), np.float32)
+    brow = np.zeros((ndev, total), np.int32)
+    bcol = np.zeros((ndev, total), np.int32)
+    for d, b in enumerate(bsrs):
+        nb = b.nblocks
+        at[d, : nb * 128] = b.blocks.transpose(0, 2, 1).reshape(nb * 128,
+                                                                128)
+        brow[d, :nb] = b.brow
+        bcol[d, :nb] = b.bcol
+        brow[d, nb:] = num_brows - 1   # zero pad blocks -> last slab
+    return StackedBsrT(
+        ndev=ndev, tb=tb, num_tiles=T, num_brows=num_brows,
+        num_bcols=num_bcols, at=at, brow=brow, bcol=bcol, density=density,
+        bytes_per_iter=total * 128 * 128 * 4 + total * 8,
+    )
+
+
+def bsrt_spmm_fits(st: StackedBsrT, k: int) -> bool:
+    """Per-k VMEM check for the stacked transposed-BSR SpMM body."""
+    from ..ops.kernels.spmm_bsr_pallas import _VMEM_T_LIMIT
+
+    kp = -(-k // 8) * 8
+    return kp * (st.num_bcols + st.num_brows) * 128 * 4 <= _VMEM_T_LIMIT

@@ -74,23 +74,29 @@ class PSeg:
                 + self.round_wrow.size * 8)
 
 
-def pack_pseg(a: CSR, *, th: int = 256, divert_below: int = 0,
+def pack_pseg(a: CSR, *, th: int = 256, divert_below: int | None = None,
               cache: bool = True) -> PSeg:
     """Pack CSR into PSEG rounds. Host-side, numpy + per-block greedy.
 
     Rounds that would carry fewer than ``divert_below`` nnz (of 1024 slots)
     are not emitted; their entries go to the straggler COO lists instead.
-    The default is 0 (keep everything): the kernel streams padding at a
-    measured 421 GB/s while the XLA COO side-path costs ~15 ns per
-    straggler — on uk-2002@0.05 divert=128 spends 200 of 253 us on 0.49%
-    of the nnz, while divert=0 (fill 0.48) runs in ~107 us (e14, round 4).
-    Nonzero values remain useful when a caller wants maximum fill and can
-    afford the side-path (e.g. tiny straggler counts).
+    The default (None) resolves per backend: **0 on accelerators** — the
+    kernel streams padding at a measured 421 GB/s while the XLA COO
+    side-path costs ~15 ns per straggler (uk-2002@0.05: divert=128 spends
+    200 of 253 us on 0.49% of the nnz; divert=0 at fill 0.48 runs ~107 us
+    — e14, round 4) — and **128 on the CPU backend**, where the economics
+    invert (interpret-mode rounds are per-op python, stragglers are cheap
+    numpy/XLA).
 
     Large packings persist across runs via plan_cache (the greedy round
     builder is python-loop bound, ~30s per Mnnz).
     """
     from . import plan_cache
+
+    if divert_below is None:
+        from .utils.backend import on_cpu
+
+        divert_below = 128 if on_cpu() else 0
 
     if (cache and plan_cache.cache_enabled()
             and a.nnz >= plan_cache.MIN_CACHE_NNZ):

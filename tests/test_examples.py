@@ -31,6 +31,7 @@ def test_pagerank_example():
     r, it = mod["pagerank"](g, method="bucket", tol=1e-9)
     assert abs(float(r.sum()) - 1.0) < 1e-3
     assert it < 200
-    # permuted-space PSEG path agrees with the XLA path
-    rp, _ = mod["pagerank"](g, method="pseg", min_fill=0.15, tol=1e-9)
+    # permuted-space PSEG path agrees with the XLA path (tiny graphs pack
+    # at very low fill under divert=0 — harmless at this size)
+    rp, _ = mod["pagerank"](g, method="pseg", min_fill=0.01, tol=1e-9)
     assert np.abs(rp - r).max() < 1e-2 * max(float(r.max()), 1e-9)

@@ -116,6 +116,22 @@ def test_dist_spmm_pallas_body(mesh8):
     assert rel_err(y, spmm_golden(a, x)) < 1e-5
 
 
+def test_dist_spmm_bsrt_body(mesh8):
+    # Auto must pick the transposed dense-block BSR local body (the
+    # single-chip DMA-roofline SpMM kernel, round 4) for panel-clustered
+    # f32 matrices, for any k (padded to a multiple of 8 in-kernel).
+    from sblas.parallel.spmm_dist import DistSpmmPlan
+
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    p = DistSpmmPlan(a, mesh8)
+    assert p.local_method == "bsr_t"
+    for k in (8, 5):
+        x = np.random.default_rng(40 + k).standard_normal(
+            (a.shape[1], k)).astype(np.float32)
+        y = np.asarray(p(x))
+        assert rel_err(y, spmm_golden(a, x)) < 1e-5
+
+
 def test_dist_auto_falls_back_on_f64(mesh8):
     a = datasets.random_csr(256, 256, 8, seed=32, dtype=np.float64)
     p = DistSpmvPlan(a, mesh8)
