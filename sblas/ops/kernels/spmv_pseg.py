@@ -34,15 +34,26 @@ _VMEM_X_LIMIT = 24 * (1 << 20)
 _VMEM_Y_LIMIT = 8 * (1 << 20)
 
 
-def _kernel(th):
+def _kernel(th, tail: bool = False, zero_out: bool = True):
+    """PSEG SpMV kernel body (branchless — a per-round pl.when hub/tail
+    branch measured ~95 ns/round of predication overhead, 4x a round).
+
+    ``tail=False``: win2 hub rounds — the round's columns live in panels
+    {w, w+1}, gathered from two broadcast tables.
+    ``tail=True``: panel-bound TAIL_WIN rounds (pack_pseg_hybrid) — slot
+    sublane s reads panel w+s (lcol < 128) or w+8+s: two direct (8,128)
+    x2d slices, no broadcasts, an 8x wider window at no extra cost.
+    ``zero_out=False`` accumulates onto the incoming out buffer (the tail
+    call runs after the hub call on the same y)."""
     ns = th // SUBLANES
 
     def kern(wrow_ref, oblk_ref, x2d_ref, val_ref, col_ref, tsb_ref, out_ref):
         t = pl.program_id(0)
 
-        @pl.when(t == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+        if zero_out:
+            @pl.when(t == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
 
         for i in range(ns):
             w = wrow_ref[t * ns + i]
@@ -50,12 +61,20 @@ def _kernel(th):
             v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.float32)
             c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
             tsb = tsb_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
-            xw = x2d_ref[pl.ds(w, 1), :]
-            table = jnp.broadcast_to(xw, (SUBLANES, 128))
-            xw1 = x2d_ref[pl.ds(w + 1, 1), :]
-            table1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
-            g0 = jnp.take_along_axis(table, jnp.minimum(c, 127), axis=1)
-            g1 = jnp.take_along_axis(table1, jnp.maximum(c - 128, 0), axis=1)
+            c0 = jnp.minimum(c, 127)
+            c1 = jnp.maximum(c - 128, 0)
+            if tail:
+                x8a = x2d_ref[pl.ds(w, SUBLANES), :]           # panels w+s
+                x8b = x2d_ref[pl.ds(w + SUBLANES, SUBLANES), :]
+                g0 = jnp.take_along_axis(x8a, c0, axis=1)
+                g1 = jnp.take_along_axis(x8b, c1, axis=1)
+            else:
+                xw = x2d_ref[pl.ds(w, 1), :]
+                table = jnp.broadcast_to(xw, (SUBLANES, 128))
+                xw1 = x2d_ref[pl.ds(w + 1, 1), :]
+                table1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+                g0 = jnp.take_along_axis(table, c0, axis=1)
+                g1 = jnp.take_along_axis(table1, c1, axis=1)
             g = jnp.where(c < 128, g0, g1)
             p = v * g                                      # (8, 128)
             parts = [
@@ -89,10 +108,12 @@ class PallasSpmvScattered:
 
     def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
                  reorder: bool = True, value_dtype=None,
-                 divert_below: int | None = None):
+                 divert_below: int | None = None,
+                 hybrid: bool | None = None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype
+        from ...utils.backend import on_cpu
 
         value_dtype = check_value_dtype(value_dtype)
         self.value_dtype = value_dtype
@@ -111,7 +132,18 @@ class PallasSpmvScattered:
             rowperm = np.arange(m, dtype=np.int64)
             ap = a
 
-        w = pack_pseg(ap, th=th, divert_below=divert_below)
+        # hybrid hub+tail packing (round 4): default on accelerators —
+        # interpret mode pays per-op for the extra tail rounds, so CPU
+        # keeps the divert-to-stragglers packing unless asked
+        if hybrid is None:
+            hybrid = not on_cpu() and divert_below is None
+        w = None
+        if hybrid:
+            from ...retile_pseg import pack_pseg_hybrid
+
+            w = pack_pseg_hybrid(ap, th=th)
+        if w is None:
+            w = pack_pseg(ap, th=th, divert_below=divert_below)
         if w.y_rows * LANES * 4 > _VMEM_Y_LIMIT:
             raise ValueError("y exceeds VMEM accumulator limit")
         if w.fill < min_fill:
@@ -135,23 +167,41 @@ class PallasSpmvScattered:
         self._rowperm_inv = jnp.asarray(inv_row.astype(np.int32))
         self.colperm = colperm
         self.rowperm = rowperm
-        self._val = jnp.asarray(w.val).astype(value_dtype)
-        self._lcol = jnp.asarray(w.lcol)
-        self._tsb = jnp.asarray(w.tsb)
-        self._wr = jnp.asarray(w.round_wrow)
-        self._ob = jnp.asarray(w.round_oblk)
+        # hybrid stream: rounds [0, n_hub) are win2 hub tiles, the rest
+        # panel-bound tail tiles — run as TWO branchless pallas_calls whose
+        # outputs add in the (fused) readout epilogue
+        ns = w.th // SUBLANES
+        if w.n_hub_rounds >= 0:
+            self._tiles_h = max(w.n_hub_rounds // ns, 1)  # tile-aligned
+        else:
+            self._tiles_h = w.num_tiles                   # plain: all hub
+        self._tiles_t = w.num_tiles - self._tiles_h
+        hr = self._tiles_h * w.th
+        self._val = jnp.asarray(w.val[:hr]).astype(value_dtype)
+        self._lcol = jnp.asarray(w.lcol[:hr])
+        self._tsb = jnp.asarray(w.tsb[:hr])
+        self._wr = jnp.asarray(w.round_wrow[: self._tiles_h * ns])
+        self._ob = jnp.asarray(w.round_oblk[: self._tiles_h * ns])
+        if self._tiles_t:
+            self._val_t = jnp.asarray(w.val[hr:]).astype(value_dtype)
+            self._lcol_t = jnp.asarray(w.lcol[hr:])
+            self._tsb_t = jnp.asarray(w.tsb[hr:])
+            self._wr_t = jnp.asarray(w.round_wrow[self._tiles_h * ns:])
+            self._ob_t = jnp.asarray(w.round_oblk[self._tiles_h * ns:])
         self._srow = jnp.asarray(w.s_rows)
         self._scol = jnp.asarray(w.s_cols)
         self._sval = jnp.asarray(w.s_vals)
-        self._call = self._build()
+        self._call = self._build(self._tiles_h, tail=False)
+        self._call_t = (self._build(self._tiles_t, tail=True)
+                        if self._tiles_t else None)
 
-    def _build(self):
+    def _build(self, num_tiles, *, tail: bool):
         w = self.layout
         from ...utils.backend import on_cpu
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(w.num_tiles,),
+            grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d whole
                 pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
@@ -161,22 +211,27 @@ class PallasSpmvScattered:
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
         )
         return pl.pallas_call(
-            _kernel(w.th),
+            _kernel(w.th, tail=tail),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((w.y_rows, LANES), jnp.float32),
             interpret=on_cpu(),
             cost_estimate=pl.CostEstimate(
-                flops=int(2 * w.num_tiles * w.th * LANES * 9),
-                bytes_accessed=int(self.bytes_per_iter),
+                flops=int(2 * num_tiles * w.th * LANES * 9),
+                bytes_accessed=int(num_tiles * w.th * LANES * 8),
                 transcendentals=0,
             ),
         )
 
     def device_arrays(self):
-        return {"wr": self._wr, "ob": self._ob, "val": self._val,
-                "lcol": self._lcol, "tsb": self._tsb,
-                "srow": self._srow, "scol": self._scol, "sval": self._sval,
-                "colperm": self._colperm, "rowinv": self._rowperm_inv}
+        d = {"wr": self._wr, "ob": self._ob, "val": self._val,
+             "lcol": self._lcol, "tsb": self._tsb,
+             "srow": self._srow, "scol": self._scol, "sval": self._sval,
+             "colperm": self._colperm, "rowinv": self._rowperm_inv}
+        if self._tiles_t:
+            d.update({"wr_t": self._wr_t, "ob_t": self._ob_t,
+                      "val_t": self._val_t, "lcol_t": self._lcol_t,
+                      "tsb_t": self._tsb_t})
+        return d
 
     def apply_permuted(self, arrs, x_perm):
         """y_perm = A_perm @ x_perm — the fast path for iterative use:
@@ -187,6 +242,10 @@ class PallasSpmvScattered:
         x2d = jnp.pad(x_perm.astype(jnp.float32), (0, pad)).reshape(-1, 128)
         y2d = self._call(arrs["wr"], arrs["ob"], x2d, arrs["val"],
                          arrs["lcol"], arrs["tsb"])
+        if self._call_t is not None:
+            y2d = y2d + self._call_t(arrs["wr_t"], arrs["ob_t"], x2d,
+                                     arrs["val_t"], arrs["lcol_t"],
+                                     arrs["tsb_t"])
         # y2d[blk*8+ts, tl] = y_perm[blk*1024 + ts*128 + tl] -> natural order
         y = y2d.reshape(-1)[:m]
         if self.layout.n_stragglers:

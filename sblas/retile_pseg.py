@@ -37,6 +37,8 @@ from .formats import CSR, INDEX_DTYPE
 SUBLANES = 8
 LANES = 128
 BLOCK_ROWS = SUBLANES * LANES  # 1024
+HUB_PANELS = 2    # hub-relabeled hot panels served by win2 rounds
+TAIL_WIN = 16     # panels per tail window (2 sub-windows of 8, sel bit)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -58,6 +60,10 @@ class PSeg:
     s_rows: np.ndarray     # (S,) int32
     s_cols: np.ndarray     # (S,) int32
     s_vals: np.ndarray     # (S,) f32
+    # hybrid packing (pack_pseg_hybrid): rounds [0, n_hub_rounds) are win2
+    # hub rounds, the rest are panel-bound TAIL_WIN rounds; -1 = no tail
+    # rounds (plain win2 packing)
+    n_hub_rounds: int = -1
 
     @property
     def n_stragglers(self) -> int:
@@ -124,6 +130,169 @@ def pack_pseg(a: CSR, *, th: int = 256, divert_below: int | None = None,
             s_rows=d["srow"], s_cols=d["scol"], s_vals=d["sval"],
         )
     return _pack_pseg_impl(a, th=th, divert_below=divert_below)
+
+
+def pack_pseg_hybrid(a: CSR, *, th: int = 256, cache: bool = True):
+    """Hybrid PSEG v3 packing: win2 rounds for the hub panels (columns <
+    HUB_PANELS*128 after popularity relabeling) + panel-bound TAIL_WIN
+    rounds for everything else. Returns a PSeg with ``n_hub_rounds >= 0``,
+    or None when the native round builder is unavailable (callers fall
+    back to plain ``pack_pseg``).
+
+    Why: with divert=0 on uk-2002@0.05, 0.7%% of the nnz (the cold-column
+    tail) occupied 39%% of all rounds — each tail (block, lane) pair
+    shatters into near-empty win2 rounds. Binding a tail slot's SUBLANE to
+    its column's panel (slot (s, l) serves panels ws+s / ws+8+s, sel bit in
+    lcol) widens the window 8x at LOWER kernel cost than the hub body (two
+    direct (8,128) x2d slices replace the broadcast tables; round-4
+    estimate: uk tail 1697 -> ~1300 rounds, total fill 0.48 -> ~0.65)."""
+    from . import native, plan_cache
+
+    if native._build_and_load() is None:
+        return None
+    if (cache and plan_cache.cache_enabled()
+            and a.nnz >= plan_cache.MIN_CACHE_NNZ):
+        params = {"th": th, "v": "h2"}
+
+        def build():
+            w = _pack_pseg_hybrid_impl(a, th=th)
+            return {
+                "val": w.val, "lcol": w.lcol, "tsb": w.tsb,
+                "wrow": w.round_wrow, "oblk": w.round_oblk,
+                "meta": np.array([w.m, w.n, w.nnz, w.th, w.num_tiles,
+                                  w.num_rounds, w.x2d_rows, w.y_rows,
+                                  w.n_hub_rounds], dtype=np.int64),
+            }
+
+        d = plan_cache.cached_arrays(a, "pseg_h", params, build)
+        mt = d["meta"]
+        z = np.zeros(0, dtype=INDEX_DTYPE)
+        return PSeg(
+            m=int(mt[0]), n=int(mt[1]), nnz=int(mt[2]), th=int(mt[3]),
+            num_tiles=int(mt[4]), num_rounds=int(mt[5]),
+            val=d["val"], lcol=d["lcol"], tsb=d["tsb"],
+            round_wrow=d["wrow"], round_oblk=d["oblk"],
+            x2d_rows=int(mt[6]), y_rows=int(mt[7]),
+            s_rows=z, s_cols=z, s_vals=np.zeros(0, np.float32),
+            n_hub_rounds=int(mt[8]),
+        )
+    return _pack_pseg_hybrid_impl(a, th=th)
+
+
+def _pack_pseg_hybrid_impl(a: CSR, *, th: int):
+    from . import native
+
+    m, n = a.shape
+    rows = a.row_ids().astype(np.int64)
+    cols = a.indices.astype(np.int64)
+    data = a.data.astype(np.float32)
+    hub = cols < HUB_PANELS * LANES
+
+    # --- hub rounds: the existing native win2 greedy, no diversion ---
+    hr, hc, hv = rows[hub], cols[hub], data[hub]
+    blk = hr // BLOCK_ROWS
+    r_in = hr % BLOCK_ROWS
+    tl = r_in % LANES
+    ts = r_in // LANES
+    pan = hc // LANES
+    order = np.lexsort((pan, tl, blk))
+    packed = native.pack_pseg_rounds(
+        blk[order], tl[order], ts[order], pan[order], hc[order],
+        hv[order], 1)
+    if packed is None:
+        return None
+    Rh, valH, lcolH, tsbH, wrowH, oblkH, sidx = packed
+    assert len(sidx) == 0  # divert=1 keeps every nonempty round
+
+    # --- tail rounds: panel-bound TAIL_WIN windows, numpy-vectorized ---
+    tr, tc, tv = rows[~hub], cols[~hub], data[~hub]
+    if len(tv):
+        tblk = tr // BLOCK_ROWS
+        ttl = (tr % BLOCK_ROWS) % LANES
+        tts = (tr % BLOCK_ROWS) // LANES
+        # windows ALIGNED to TAIL_WIN panel boundaries: the kernel slices
+        # x2d at pl.ds(ws, 8)/(ws+8, 8), and Mosaic dynamic sublane slices
+        # at non-multiple-of-8 offsets return wrong data (measured 2e-4
+        # rel-err on chip with ws = 2 mod 16; interpret mode doesn't care)
+        pan_t = tc // LANES
+        win = pan_t // TAIL_WIN
+        off = pan_t % TAIL_WIN
+        s = off % SUBLANES
+        sel = off // SUBLANES
+        lc = (tc % LANES + sel * LANES).astype(np.int64)
+        nwin = int(win.max()) + 1
+        key = ((tblk * nwin + win) * LANES + ttl) * SUBLANES + s
+        order_t = np.argsort(key, kind="stable")
+        ks = key[order_t]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(ks)) - np.flatnonzero(first)[grp]
+        bw = ks // (LANES * SUBLANES)          # blk*nwin + win, sorted
+        bw_first = np.concatenate([[True], bw[1:] != bw[:-1]])
+        starts = np.flatnonzero(bw_first)
+        nrounds_bw = np.maximum.reduceat(rank, starts) + 1
+        round_base = np.concatenate([[0], np.cumsum(nrounds_bw)[:-1]])
+        gbw = np.cumsum(bw_first) - 1
+        r_ent = round_base[gbw] + rank
+        Rt = int(nrounds_bw.sum())
+        valT = np.zeros((Rt * SUBLANES, LANES), np.float32)
+        lcolT = np.zeros((Rt * SUBLANES, LANES), np.int32)
+        tsbT = np.zeros((Rt * SUBLANES, LANES), np.int32)
+        arow = r_ent * SUBLANES + s[order_t]
+        acol = ttl[order_t]
+        valT[arow, acol] = tv[order_t]
+        lcolT[arow, acol] = lc[order_t]
+        tsbT[arow, acol] = tts[order_t]
+        bw_ids = bw[starts]
+        wrowT = np.repeat((bw_ids % nwin) * TAIL_WIN,
+                          nrounds_bw).astype(np.int64)
+        oblkT = np.repeat(bw_ids // nwin, nrounds_bw).astype(np.int64)
+        x2d_tail = nwin * TAIL_WIN
+    else:
+        Rt = 0
+        valT = np.zeros((0, LANES), np.float32)
+        lcolT = np.zeros((0, LANES), np.int32)
+        tsbT = np.zeros((0, LANES), np.int32)
+        wrowT = np.zeros(0, np.int64)
+        oblkT = np.zeros(0, np.int64)
+        x2d_tail = 0
+
+    # The hub and tail segments are each padded to WHOLE tiles: the
+    # executor runs them as two separate branchless pallas_calls (a
+    # per-round pl.when branch measured ~95 ns/round of pure predication
+    # overhead — 4x the whole round cost) and sums the outputs.
+    num_blocks = max(-(-m // BLOCK_ROWS), 1)
+    ns = max(th // SUBLANES, 1)
+    TH = max(-(-Rh // ns), 1)
+    TT = -(-Rt // ns)
+    total = (TH + TT) * ns
+    val = np.zeros((total * SUBLANES, LANES), dtype=np.float32)
+    lcol = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
+    tsb = np.zeros((total * SUBLANES, LANES), dtype=np.int16)
+    wrow = np.zeros(total, dtype=np.int64)
+    oblk = np.zeros(total, dtype=np.int64)
+    val[: Rh * SUBLANES] = valH
+    lcol[: Rh * SUBLANES] = lcolH
+    tsb[: Rh * SUBLANES] = tsbH
+    wrow[:Rh] = wrowH
+    oblk[:Rh] = oblkH
+    h0 = TH * ns
+    val[(h0 + 0) * SUBLANES: (h0 + Rt) * SUBLANES] = valT
+    lcol[(h0 + 0) * SUBLANES: (h0 + Rt) * SUBLANES] = lcolT
+    tsb[(h0 + 0) * SUBLANES: (h0 + Rt) * SUBLANES] = tsbT
+    wrow[h0: h0 + Rt] = wrowT
+    oblk[h0: h0 + Rt] = oblkT
+    return PSeg(
+        m=m, n=n, nnz=a.nnz, th=ns * SUBLANES, num_tiles=TH + TT,
+        num_rounds=total, val=val, lcol=lcol, tsb=tsb,
+        round_wrow=wrow.astype(INDEX_DTYPE),
+        round_oblk=oblk.astype(INDEX_DTYPE),
+        x2d_rows=max(-(-n // LANES) + 1, x2d_tail, 16),
+        y_rows=num_blocks * SUBLANES,
+        s_rows=np.zeros(0, INDEX_DTYPE), s_cols=np.zeros(0, INDEX_DTYPE),
+        s_vals=np.zeros(0, np.float32),
+        n_hub_rounds=h0,
+    )
 
 
 def _pack_pseg_impl(a: CSR, *, th: int, divert_below: int) -> PSeg:
@@ -278,8 +447,9 @@ def _pack_pseg_impl(a: CSR, *, th: int, divert_below: int) -> PSeg:
 def pseg_to_dense(p: PSeg) -> np.ndarray:
     """Reconstruct the dense matrix (test helper)."""
     out = np.zeros((p.m, p.n), dtype=np.float64)
+    n_hub = p.n_hub_rounds if p.n_hub_rounds >= 0 else p.num_rounds
     for i in range(p.num_rounds):
-        wbase = int(p.round_wrow[i]) * LANES
+        w = int(p.round_wrow[i])
         b = int(p.round_oblk[i])
         for s in range(SUBLANES):
             arow = i * SUBLANES + s
@@ -287,7 +457,15 @@ def pseg_to_dense(p: PSeg) -> np.ndarray:
                 v = p.val[arow, l]
                 if v != 0.0:
                     row = b * BLOCK_ROWS + int(p.tsb[arow, l]) * LANES + l
-                    out[row, wbase + int(p.lcol[arow, l])] += v
+                    lc = int(p.lcol[arow, l])
+                    if i < n_hub:
+                        col = w * LANES + lc        # win2: panel w or w+1
+                    else:
+                        # tail: slot sublane s serves panel w+s (sel 0 in
+                        # lcol's high bit means panel w+8+s)
+                        col = (w + s + (lc // LANES) * SUBLANES) * LANES \
+                            + lc % LANES
+                    out[row, col] += v
     for r, c, v in zip(p.s_rows, p.s_cols, p.s_vals):
         out[int(r), int(c)] += v
     return out

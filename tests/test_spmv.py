@@ -141,6 +141,37 @@ def test_pseg_layout_roundtrip():
                                rtol=0, atol=0)
 
 
+def test_pseg_hybrid_pack_roundtrip():
+    from sblas.retile_pseg import pack_pseg_hybrid, pseg_to_dense
+
+    a = datasets.powerlaw_graph(3000, 8, seed=11, dtype=np.float32)
+    w = pack_pseg_hybrid(a, cache=False)
+    assert w is not None and w.n_hub_rounds >= 0
+    assert w.num_rounds > w.n_hub_rounds  # has tail rounds
+    np.testing.assert_allclose(pseg_to_dense(w), a.to_scipy().toarray(),
+                               rtol=0, atol=0)
+
+
+def test_spmv_pseg_hybrid_interpret():
+    # hybrid hub+tail stream through the kernel (interpret mode): tail
+    # rounds bind slot sublane to column panel (round 4)
+    import jax
+    from sblas.ops.kernels.spmv_pseg import PallasSpmvScattered
+
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    p = PallasSpmvScattered(g, hybrid=True, min_fill=0.0)
+    assert p.layout.n_hub_rounds >= 0
+    assert p.layout.n_stragglers == 0
+    x = np.random.default_rng(52).standard_normal(g.shape[1]).astype(
+        np.float32)
+    y = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(), x))
+    assert rel_err(y, spmv_golden(g, x)) < 1e-5
+    # hybrid must pack at materially higher fill than plain divert=0
+    plain = PallasSpmvScattered(g, hybrid=False, divert_below=0,
+                                min_fill=0.0)
+    assert p.layout.fill > plain.layout.fill
+
+
 def test_pseg_trailing_empty_rows():
     """Regression (r2 review): rows after the last nonempty 1024-block had
     no y slot; the unpermute gather clamped them onto the last nonempty
