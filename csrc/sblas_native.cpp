@@ -234,6 +234,7 @@ extern "C" int64_t sblas_pack_trsv_f32(
     const int32_t* slot_of_row,   // [n] slot per original row
     const double* inv_diag,       // [n] 1/diag per original row
     int64_t n_pad, int32_t lower, int64_t dense_from_slot, int64_t max_rounds,
+    int32_t win,                  // panels per round window (lcol < win*128)
     float* val_out, int32_t* lcol_out, int32_t* wrow_out, int32_t* oblk_out,
     int32_t* final_out, int32_t* bfirst_out) {
   const int32_t LANES_ = 128;
@@ -317,17 +318,25 @@ extern "C" int64_t sblas_pack_trsv_f32(
       for (int64_t q = 0; q < SUBL * LANES_; ++q) { vt[q] = 0.f; ct[q] = 0; }
       for (int32_t lo = 0; lo < 128; ++lo) {
         if (cursor[lo] >= chunks[lo].size()) continue;
-        const Chunk& ch = chunks[lo][cursor[lo]];
-        if (ch.panel > wsel + 1) continue;
         const int32_t s = lo / SUBSEG;
         const int32_t k = lo % SUBSEG;
         const int64_t base = (int64_t)s * LANES_ + k * lps;
-        for (int32_t t = 0; t < ch.len; ++t) {
-          vt[base + t] = rowdeps[lo][ch.start + t].second;
-          ct[base + t] = rowdeps[lo][ch.start + t].first
-                         - (int32_t)(wsel * LANES_);
+        // take as many of the row's consecutive single-panel chunks as fit
+        // the row's lps slots AND the round's win-panel window — wide
+        // windows let a row with one dep per panel fill its slots in one
+        // round instead of one round per panel (the band-factor pathology)
+        int32_t used = 0;
+        while (cursor[lo] < chunks[lo].size()) {
+          const Chunk& ch = chunks[lo][cursor[lo]];
+          if (ch.panel > wsel + win - 1 || used + ch.len > lps) break;
+          for (int32_t t = 0; t < ch.len; ++t) {
+            vt[base + used + t] = rowdeps[lo][ch.start + t].second;
+            ct[base + used + t] = rowdeps[lo][ch.start + t].first
+                                  - (int32_t)(wsel * LANES_);
+          }
+          used += ch.len;
+          ++cursor[lo];
         }
-        ++cursor[lo];
       }
       wrow_out[nrounds] = (int32_t)wsel;
       oblk_out[nrounds] = (int32_t)blk;

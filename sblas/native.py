@@ -71,6 +71,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sblas_pack_trsv_f32.argtypes = [
         i32p, i32p, f64p, i32p, i32p, f64p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32,
         f32p, i32p, i32p, i32p, i32p, i32p,
     ]
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -260,7 +261,8 @@ def pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s, divert_below):
 
 
 def pack_trsv_rounds(indptr, indices, data, row_of_slot, slot_of_row,
-                     inv_diag, n_pad, lower, dense_from_slot=None):
+                     inv_diag, n_pad, lower, dense_from_slot=None,
+                     win=2):
     """Native SpTRSV round builder (see sptrsv_pallas.build_layout).
     Returns (R, val, lcol, wrow, oblk, final, bfirst) or None."""
     lib = _build_and_load()
@@ -290,7 +292,7 @@ def pack_trsv_rounds(indptr, indices, data, row_of_slot, slot_of_row,
     R = lib.sblas_pack_trsv_f32(
         _as_i32p(indptr), _as_i32p(indices), _as_f64p(data),
         _as_i32p(row_of_slot), _as_i32p(slot_of_row), _as_f64p(inv_diag),
-        n_pad, int(lower), int(dense_from_slot), max_rounds,
+        n_pad, int(lower), int(dense_from_slot), max_rounds, int(win),
         val.ctypes.data_as(f32p), _as_i32p(lcol), _as_i32p(wrow),
         _as_i32p(oblk), _as_i32p(final), _as_i32p(bfirst),
     )

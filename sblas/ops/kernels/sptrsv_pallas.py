@@ -73,21 +73,30 @@ class TrsvLayout:
     minvT: np.ndarray         # (max(n_dense,1)*128, 128) block inverses^T
     n_dense: int              # dense-tail 128-row blocks
     x2d_rows: int
+    # panels per round window (lcol < nwin*128). Wide windows exist because
+    # the solve is LATENCY-bound per round: on the 62k band factor the win2
+    # packing needed 22272 rounds (23.5x padding — each row has ~1 dep per
+    # panel across a 32-panel band, one round per panel), and extra gather
+    # tables+selects are nearly free relative to the round chain (round 4).
+    nwin: int = 2
 
 
 def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
-                 th: int = 256, cache: bool = True) -> TrsvLayout:
+                 th: int = 256, nwin: int = 16,
+                 cache: bool = True) -> TrsvLayout:
     """Level-set analysis + round packing, persisted across runs for large
     matrices via plan_cache (SURVEY.md §5 checkpoint analogue)."""
     from ... import plan_cache
 
     if (cache and plan_cache.cache_enabled()
             and l.nnz >= plan_cache.MIN_CACHE_NNZ):
-        params = {"lower": lower, "unit": unit_diagonal, "th": th, "v": 2}
+        params = {"lower": lower, "unit": unit_diagonal, "th": th,
+                  "nwin": nwin, "v": 3}
 
         def build():
             lay = _build_layout_impl(l, lower=lower,
-                                     unit_diagonal=unit_diagonal, th=th)
+                                     unit_diagonal=unit_diagonal, th=th,
+                                     nwin=nwin)
             return {
                 "perm": lay.perm, "slot": lay.slot_of_row, "val": lay.val,
                 "lcol": lay.lcol, "wrow": lay.round_wrow,
@@ -97,7 +106,7 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
                 "minvT": lay.minvT,
                 "meta": np.array([lay.n, lay.nnz, lay.nlevels,
                                   lay.num_blocks, lay.num_tiles, lay.th,
-                                  lay.x2d_rows, lay.n_dense],
+                                  lay.x2d_rows, lay.n_dense, lay.nwin],
                                  dtype=np.int64),
             }
 
@@ -111,15 +120,15 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
             round_final=d["final"], round_bfirst=d["bfirst"],
             round_dense=d["dense"], round_dblk=d["dblk"],
             inv_diag=d["invd"], minvT=d["minvT"], n_dense=int(mt[7]),
-            x2d_rows=int(mt[6]),
+            x2d_rows=int(mt[6]), nwin=int(mt[8]),
         )
     return _build_layout_impl(l, lower=lower, unit_diagonal=unit_diagonal,
-                              th=th)
+                              th=th, nwin=nwin)
 
 
 def _build_layout_impl(l: CSR, *, lower: bool = True,
                        unit_diagonal: bool = False,
-                       th: int = 256) -> TrsvLayout:
+                       th: int = 256, nwin: int = 16) -> TrsvLayout:
     n = l.shape[0]
     levels, nlevels = native.level_schedule(l.indptr, l.indices, n,
                                             lower=lower)
@@ -259,7 +268,7 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
     # rounds per block — native C++ fast path, python fallback
     packed = native.pack_trsv_rounds(
         l.indptr, l.indices, l.data, row_of_slot, slot_of_row,
-        1.0 / diag, n_pad, lower, dense_from_slot=head_pad,
+        1.0 / diag, n_pad, lower, dense_from_slot=head_pad, win=nwin,
     )
     if packed is not None:
         R, valN, lcolN, wrowN, oblkN, finalN, bfirstN = packed
@@ -292,7 +301,7 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
             round_dense=dense.astype(INDEX_DTYPE),
             round_dblk=dblk.astype(INDEX_DTYPE),
             inv_diag=inv_diag, minvT=minvT, n_dense=n_dense,
-            x2d_rows=num_blocks + 1,
+            x2d_rows=num_blocks + nwin - 1, nwin=nwin,
         )
 
     rounds = []  # (wrow, blk, final, bfirst, vt, ct)
@@ -348,12 +357,17 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
             wsel = min(p for p, _ in pending)
             vt = np.zeros((SUBLANES, LANES), dtype=data.dtype)
             ct = np.zeros((SUBLANES, LANES), dtype=np.int64)
-            for p, lo in pending:
-                if p <= wsel + 1:
-                    _, v, lc = chmap[lo][nexts[lo]]
-                    s, k = divmod(lo, SUB)
-                    vt[s, k * LPS: k * LPS + len(v)] = v
-                    ct[s, k * LPS: k * LPS + len(lc)] = lc + (p - wsel) * LANES
+            for _, lo in pending:
+                s, k = divmod(lo, SUB)
+                used = 0
+                while nexts[lo] < len(chmap[lo]):
+                    p, v, lc = chmap[lo][nexts[lo]]
+                    if p > wsel + nwin - 1 or used + len(v) > LPS:
+                        break
+                    base = k * LPS + used
+                    vt[s, base: base + len(v)] = v
+                    ct[s, base: base + len(lc)] = lc + (p - wsel) * LANES
+                    used += len(v)
                     nexts[lo] += 1
             blk_rounds.append((wsel, blk, 0, 0, vt, ct))
         blk_rounds[0] = blk_rounds[0][:3] + (1,) + blk_rounds[0][4:]
@@ -395,11 +409,11 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
         round_dense=dense.astype(INDEX_DTYPE),
         round_dblk=dblk.astype(INDEX_DTYPE),
         inv_diag=inv_diag, minvT=minvT, n_dense=n_dense,
-        x2d_rows=num_blocks + 1,
+        x2d_rows=num_blocks + nwin - 1, nwin=nwin,
     )
 
 
-def _kernel(th, n_dense, k: int = 1):
+def _kernel(th, n_dense, k: int = 1, nwin: int = 2):
     """Wavefront kernel body for k right-hand sides.
 
     k > 1 runs k solves in one sequential grid pass sharing the schedule
@@ -444,20 +458,21 @@ def _kernel(th, n_dense, k: int = 1):
             bfirst = bfirst_ref[t * ns + i]
             v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.float32)
             c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
-            c0 = jnp.minimum(c, 127)
-            c1 = jnp.maximum(c - 128, 0)
-            sel = c < 128
+            # per-window clamped gather indices (lcol in [0, nwin*128));
+            # extra tables+selects are cheap here — the solve is latency-
+            # bound per round, so nwin=8 buys ~4-8x fewer rounds on band
+            # factors for a few VPU ops per round (round 4)
+            cjs = [jnp.clip(c - j * 128, 0, 127) for j in range(nwin)]
             slab = b * SUBLANES
             for kk in range(k):
                 x2d_ref = x_refs[kk]
                 acc_ref = acc_refs[kk]
-                xw = x2d_ref[pl.ds(w, 1), :]
-                tab0 = jnp.broadcast_to(xw, (SUBLANES, 128))
-                xw1 = x2d_ref[pl.ds(w + 1, 1), :]
-                tab1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
-                g0 = jnp.take_along_axis(tab0, c0, axis=1)
-                g1 = jnp.take_along_axis(tab1, c1, axis=1)
-                g = jnp.where(sel, g0, g1)
+                g = None
+                for j in range(nwin):
+                    xw = x2d_ref[pl.ds(w + j, 1), :]
+                    tab = jnp.broadcast_to(xw, (SUBLANES, 128))
+                    gj = jnp.take_along_axis(tab, cjs[j], axis=1)
+                    g = gj if g is None else jnp.where(c >= j * 128, gj, g)
                 part = jnp.dot(v * g, seg,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)  # (8,SUB)
@@ -522,10 +537,11 @@ class PallasSptrsv:
     """Level-set Pallas SpTRSV executor (single chip)."""
 
     def __init__(self, l: CSR, *, lower: bool = True,
-                 unit_diagonal: bool = False, th: int = 256):
+                 unit_diagonal: bool = False, th: int = 256, nwin: int = 16):
         if l.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
-        lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th)
+        lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th,
+                           nwin=nwin)
         vmem_est = (lay.x2d_rows * 128 + 2 * (lay.num_blocks + 1) * 128
                     + 2 * lay.th * 128 * 2 + lay.minvT.size) * 4
         if vmem_est > 20 * (1 << 20):
@@ -598,7 +614,7 @@ class PallasSptrsv:
             ),
         )
         call = pl.pallas_call(
-            _kernel(lay.th, lay.n_dense, k),
+            _kernel(lay.th, lay.n_dense, k, lay.nwin),
             grid_spec=grid_spec,
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((lay.x2d_rows, LANES), jnp.float32)
