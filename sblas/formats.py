@@ -19,13 +19,18 @@ from typing import Tuple
 import numpy as np
 
 INDEX_DTYPE = np.int32
-VALUE_DTYPES = (np.float32, np.float64)
+VALUE_DTYPES = (np.float32, np.float64, np.complex64, np.complex128)
 
 
 def _check_values(data: np.ndarray) -> np.ndarray:
     data = np.asarray(data)
-    if data.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
-        data = data.astype(np.float64)
+    if data.dtype not in tuple(np.dtype(d) for d in VALUE_DTYPES):
+        # Complex inputs of odd precision widen to complex128; everything else
+        # (ints, bools, f16) widens to float64. Never silently drop imag parts.
+        if np.issubdtype(data.dtype, np.complexfloating):
+            data = data.astype(np.complex128)
+        else:
+            data = data.astype(np.float64)
     return data
 
 
