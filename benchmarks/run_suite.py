@@ -27,6 +27,9 @@ from sblas.utils.timing import stream_bandwidth
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--large", action="store_true",
+                    help="only the >=100M-nnz single-chip records "
+                         "(VERDICT r1 item 4)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -45,7 +48,13 @@ def main():
     sbw = stream_bandwidth()
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
 
-    fem = ["cant", "consph", "pdb1HYS"] if not args.quick else ["cant"]
+    if args.large:
+        run_large(emit)
+        print(f"# wrote {len(records)} records to {out}", flush=True)
+        return
+
+    fem = ["cant", "consph", "pdb1HYS", "pwtk"] if not args.quick \
+        else ["cant"]
     scale = 1.0
 
     # Config #1: SpMV over the FEM suite, f32 fast path + f64 correctness
@@ -66,8 +75,20 @@ def main():
         except Exception as e:
             print(f"# spmv bf16 FAIL: {str(e)[:200]}", flush=True)
 
-    # Config #2: SpMM K=8/32
-    for name in (fem[:2] if not args.quick else fem[:1]):
+    # fp64: BASELINE.md requires fp64 runs to report their own BW alongside
+    # correctness (XLA path — Mosaic has no f64; VERDICT r1 item 8)
+    if not args.quick:
+        try:
+            a64 = datasets.emulate("cant", scale=scale, dtype=np.float64)
+            rec = bench_lib.bench_spmv(a64, method="auto", iters=3)
+            rec.extra["matrix"] = "cant-f64"
+            emit(rec)
+        except Exception as e:
+            print(f"# spmv f64 FAIL: {str(e)[:200]}", flush=True)
+
+    # Config #2: SpMM K=8/32 over the full FEM set (every README row must
+    # have a committed record; VERDICT r1 item 1)
+    for name in fem:
         a = datasets.emulate(name, scale=scale, dtype=np.float32)
         for k in (8, 32):
             try:
@@ -146,6 +167,59 @@ def main():
             print(f"# dist-spmv FAIL: {str(e)[:200]}", flush=True)
 
     print(f"# wrote {len(records)} records to {out}", flush=True)
+
+
+def run_large(emit):
+    """>=100M-nnz single-chip records (VERDICT r1 item 4; SURVEY.md §7 hard
+    parts 1 & 4).
+
+    The single-chip kernels stage the whole x AND y in VMEM, so with the
+    ~14 MB compile ceiling the row count caps near 1M f32 rows (x 4MB +
+    y 4MB + double-buffered schedule tiles); the large cases therefore raise
+    nnz through degree: 1M rows x deg 100. Records include generator and
+    packer wall-times and the plan-cache warm-hit time (SURVEY.md §5
+    checkpoint analogue).
+    """
+    import time as _t
+
+    from sblas.ops.spmv import SpmvPlan
+
+    cases = [
+        # FEM-style band locality: ~8.5 nnz per 2-panel window keeps
+        # w-SELL fill healthy at deg 100
+        ("fem-band-1M-100M", lambda: datasets.random_csr(
+            1_000_000, 1_000_000, 100, bandwidth=1500, seed=7,
+            dtype=np.float32)),
+        # power-law hub structure at the same scale (PSEG path)
+        ("powerlaw-1M-100M", lambda: datasets.powerlaw_graph(
+            1_000_000, avg_deg=100, seed=7, dtype=np.float32)),
+    ]
+    for name, gen in cases:
+        try:
+            t0 = _t.time()
+            a = gen()
+            gen_s = _t.time() - t0
+            # cold pack (plan-cache miss) vs warm rebuild (cache hit)
+            t0 = _t.time()
+            SpmvPlan(a, "auto")
+            cold = _t.time() - t0
+            t0 = _t.time()
+            SpmvPlan(a, "auto")
+            warm = _t.time() - t0
+            rec = bench_lib.bench_spmv(a, method="auto", iters=10)
+            rec.extra.update(matrix=name, gen_seconds=round(gen_s, 2),
+                             pack_seconds_cold=round(cold, 2),
+                             pack_seconds_warm=round(warm, 2))
+            emit(rec)
+        except Exception as e:
+            print(f"# large spmv {name} FAIL: {str(e)[:300]}", flush=True)
+            continue
+        try:
+            rec = bench_lib.bench_spmm(a, 8, method="auto", iters=5)
+            rec.extra["matrix"] = name
+            emit(rec)
+        except Exception as e:
+            print(f"# large spmm {name} FAIL: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,11 +26,17 @@ def main():
     ap.add_argument("--avg-deg", type=float, default=16.0)
     ap.add_argument("--kind", choices=["powerlaw", "fem"], default="powerlaw")
     ap.add_argument("--chips", default="1,2,4,8")
-    ap.add_argument("--plan", choices=["1d", "2d", "halo"], default="1d",
+    ap.add_argument("--plan",
+                    choices=["1d", "2d", "halo", "sptrsv", "sptrsm"],
+                    default="1d",
                     help="1d = row split + x all_gather; 2d = (rows, cols) "
                          "mesh, x sharded over cols, psum of partial y; "
                          "halo = neighbor ppermute strips (band-local "
-                         "matrices, collective bytes independent of n)")
+                         "matrices, collective bytes independent of n); "
+                         "sptrsv/sptrsm = distributed triangular solve "
+                         "(level-batched, solved-slot-only exchange)")
+    ap.add_argument("--nrhs", type=int, default=8,
+                    help="RHS count for --plan sptrsm")
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force the virtual CPU mesh")
     ap.add_argument("--out", default=None)
@@ -59,9 +65,11 @@ def main():
     import jax.numpy as jnp
 
     from sblas import datasets
-    from sblas.parallel import DistSpmvPlan, Dist2DSpmvPlan, HaloSpmvPlan
+    from sblas.parallel import (DistSpmvPlan, Dist2DSpmvPlan, HaloSpmvPlan,
+                                DistSptrsvPlan, DistSptrsmPlan)
     from sblas.parallel.mesh import make_mesh, make_mesh2d
-    from sblas.golden import spmv_golden, rel_err
+    from sblas.golden import (spmv_golden, sptrsv_golden, sptrsm_golden,
+                              rel_err)
     from sblas.utils.timing import measure_seconds_per_iter
 
     correctness_only = jax.default_backend() == "cpu"
@@ -72,6 +80,53 @@ def main():
 
     chip_counts = [int(c) for c in args.chips.split(",")
                    if int(c) <= jax.device_count()]
+
+    if args.plan in ("sptrsv", "sptrsm"):
+        # Distributed triangular solve weak scaling (VERDICT r1 item 10):
+        # correctness + the collective-bytes model. The solved-slot-only
+        # exchange moves ~2x the padded solution size, independent of level
+        # count (DESIGN.md "Dist SpTRSV") — record the measured ratio.
+        for nc in chip_counts:
+            n = args.rows_per_chip * nc
+            l = datasets.lower_triangular(n, args.avg_deg, seed=nc,
+                                          dtype=np.float32)
+            mesh = make_mesh(nc)
+            rng = np.random.default_rng(0)
+            if args.plan == "sptrsv":
+                plan = DistSptrsvPlan(l, mesh)
+                base = plan
+                b = rng.standard_normal(n).astype(np.float32)
+                x = np.asarray(plan(b))
+                err = rel_err(x, sptrsv_golden(l, b))
+                rhs_mult = 1
+            else:
+                plan = DistSptrsmPlan(l, mesh)
+                base = plan._sv
+                b = rng.standard_normal((n, args.nrhs)).astype(np.float32)
+                x = np.asarray(plan(b))
+                err = rel_err(x, sptrsm_golden(l, b))
+                rhs_mult = args.nrhs
+            coll = int(base.collective_bytes) * rhs_mult
+            model = 2 * 4 * n * rhs_mult   # ~2x solution size, f32
+            rec = {
+                "chips": nc, "n": n, "nnz": l.nnz, "plan": args.plan,
+                "rel_err": float(err),
+                "nlevels": int(base.nlevels),
+                "nbatches": int(base.nbatches),
+                "stream_bytes_per_chip": int(base.bytes_per_iter // nc),
+                "collective_bytes": coll,
+                "collective_model_2x_solution": model,
+                "collective_vs_model": round(coll / max(model, 1), 3),
+                "backend": jax.default_backend(),
+                "correctness_only": correctness_only,
+            }
+            if args.plan == "sptrsm":
+                rec["nrhs"] = args.nrhs
+            with open(out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+        return
+
     results = []
     for nc in chip_counts:
         n = args.rows_per_chip * nc

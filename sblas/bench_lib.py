@@ -272,6 +272,35 @@ def bench_sptrsm(l: CSR, k: int = 8, *, validate: bool = True,
         tol = 1e-10 if l.dtype == np.float64 else 1e-3
         assert err < tol, f"validation failed: {err}"
 
+    if (plan.method == "pallas" and k >= plan.LANES_MIN_K
+            and plan._get_lanes() is not None):
+        # RHS-on-sublanes kernel: one schedule pass per 8-RHS chunk
+        pl_ = plan._lanes
+        arrs = pl_.device_arrays()
+        chunks = [
+            jnp.asarray(pl_.b_to_b3d(
+                np.asarray(b0[:, c0:c0 + pl_.MAX_RHS], np.float32)))
+            for c0 in range(0, k, pl_.MAX_RHS)
+        ]
+        b3s = jnp.stack(chunks)
+        extra["kernel"] = "lanes"
+        extra["rounds"] = int(pl_.layout.num_tiles * pl_.layout.th)
+
+        def step(carry, arrs, b3s):
+            x = lax.map(lambda b3: plan._lanes.solve_permuted(arrs, b3),
+                        b3s + carry * _EPS)
+            return jnp.float32(_EPS) * x[0, 0, 0]
+
+        per = measure_seconds_per_iter(step, jnp.float32(0.0), arrs, b3s,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+        extra["permutes"] = "host-side"
+        extra["levels_per_s"] = plan.nlevels / per
+        return BenchRecord(
+            name=f"sptrsm_k{k}", seconds_per_iter=per,
+            flops=2.0 * l.nnz * k, bytes=plan.bytes_per_iter(k),
+            extra=extra,
+        )
     if plan.method == "pallas":
         # measure the on-chip batched wavefront (host-side permutes, as in
         # bench_sptrsv): chunks of the lane-parallel multi-RHS kernel at the

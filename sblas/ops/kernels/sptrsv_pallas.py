@@ -126,9 +126,26 @@ def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
                               th=th, nwin=nwin)
 
 
-def _build_layout_impl(l: CSR, *, lower: bool = True,
-                       unit_diagonal: bool = False,
-                       th: int = 256, nwin: int = 16) -> TrsvLayout:
+@dataclasses.dataclass(frozen=True, eq=False)
+class TrsvAnalysis:
+    """Level-set analysis products shared by the 1-RHS and multi-RHS round
+    packers: the topological permutation, padded-slot maps, dense-tail
+    split, diagonal scaling, and block inverses."""
+    n: int
+    nlevels: int
+    num_blocks: int
+    head_pad: int
+    head_blocks: int
+    n_dense: int
+    order: np.ndarray         # permuted position -> original row
+    slot_of_row: np.ndarray   # original row -> padded slot
+    row_of_slot: np.ndarray   # padded slot -> original row (-1 = pad)
+    diag: np.ndarray          # (n,) diagonal values (f64)
+    inv_diag: np.ndarray      # (num_blocks*8, SUB) f32, 1 on dense slots
+    minvT: np.ndarray         # (max(n_dense,1)*128, 128) block inverses^T
+
+
+def _analyze(l: CSR, *, lower: bool, unit_diagonal: bool) -> TrsvAnalysis:
     n = l.shape[0]
     levels, nlevels = native.level_schedule(l.indptr, l.indices, n,
                                             lower=lower)
@@ -264,6 +281,35 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
                             t_blk[i, j] = data[p]
             minv = scipy.linalg.solve_triangular(t_blk, eye, lower=True)
             minvT[tb * 128:(tb + 1) * 128] = minv.T.astype(np.float32)
+
+    return TrsvAnalysis(
+        n=n, nlevels=nlevels, num_blocks=num_blocks, head_pad=head_pad,
+        head_blocks=head_blocks, n_dense=n_dense, order=order,
+        slot_of_row=slot_of_row, row_of_slot=row_of_slot, diag=diag,
+        inv_diag=inv_diag, minvT=minvT,
+    )
+
+
+def _build_layout_impl(l: CSR, *, lower: bool = True,
+                       unit_diagonal: bool = False,
+                       th: int = 256, nwin: int = 16) -> TrsvLayout:
+    an = _analyze(l, lower=lower, unit_diagonal=unit_diagonal)
+    n = an.n
+    nlevels = an.nlevels
+    num_blocks = an.num_blocks
+    head_pad = an.head_pad
+    head_blocks = an.head_blocks
+    n_dense = an.n_dense
+    order = an.order
+    slot_of_row = an.slot_of_row
+    row_of_slot = an.row_of_slot
+    diag = an.diag
+    inv_diag = an.inv_diag
+    minvT = an.minvT
+    n_pad = num_blocks * 128
+    indptr = l.indptr.astype(np.int64)
+    cols = l.indices.astype(np.int64)
+    data = l.data
 
     # rounds per block — native C++ fast path, python fallback
     packed = native.pack_trsv_rounds(
@@ -687,3 +733,434 @@ class PallasSptrsv:
 
     def apply_traced(self, b):
         return self.apply_pure(self.device_arrays(), b)
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS wavefront: k <= 8 right-hand sides on SUBLANES (VERDICT r1
+# item 5 — "RHS-in-lanes" family).
+#
+# The per-RHS-refs kernel above duplicates the whole gather/select/dot chain
+# per RHS, and measurement showed those chains serialize in issue slots
+# (k=8 costs 7.7-8.1x one SpTRSV). The structural fix exploits the fact
+# that wavefront rounds are mostly EMPTY (latency-bound, ~1-2 deps per row
+# per window): re-shape the round so its idle capacity carries the RHS
+# batch instead of air.
+#
+#   - x2d_m: row w*8 + kk = solution window w (128 slots) of RHS kk.
+#   - A round targets ONE 16-row group q of a block: lane = j*8 + s is dep
+#     slot s of group-row j; indices/values are SHARED across RHS (one
+#     (1,128) ct/vt per round).
+#   - The gather table is x2d_m[(w+j)*8 : +8] — sublane kk is RHS kk's
+#     window row — so ONE take_along_axis(axis=1) with the broadcast index
+#     row serves all 8 RHS (per-sublane tables, shared lanes).
+#   - ONE MXU (8,128)@(128,16) segment-reduce yields (RHS, row) partials.
+#   - Dense-tail blocks solve all 8 RHS in ONE (8,128)@(128,128) MXU pass.
+#
+# Per-product op count is unchanged (the 1024-products-per-gather invariant
+# is layout-independent); the win is that sparse rounds now carry 8 RHS in
+# lanes that previously idled. Capacity-bound blocks (>128 pairs per 16-row
+# group per window) split into extra rounds and degrade gracefully toward
+# the old kx cost.
+# ---------------------------------------------------------------------------
+
+LPS_M = 8       # dep slots per group-row in a multi-RHS round
+GROUP = 16      # rows per (block, q) group: 8 groups per 128-slot block
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class TrsvLayoutM:
+    n: int
+    nnz: int
+    nlevels: int
+    num_blocks: int
+    num_tiles: int
+    th: int                   # rounds per grid step (tile rows)
+    perm: np.ndarray
+    slot_of_row: np.ndarray
+    val: np.ndarray           # (T*th, 128) one round per row
+    lcol: np.ndarray          # (T*th, 128) int32 in [0, nwin*128)
+    round_wrow: np.ndarray    # (T*th,)
+    round_oblk: np.ndarray    # (T*th,)
+    round_qgrp: np.ndarray    # (T*th,) 16-row group within the block
+    round_final: np.ndarray   # (T*th,) 1 = last round of its block
+    round_bfirst: np.ndarray  # (T*th,) 1 = first round of its (b, q) tile
+    round_dense: np.ndarray   # (T*th,) 1 = final round of a dense-tail blk
+    round_dblk: np.ndarray    # (T*th,)
+    inv_diag: np.ndarray      # (num_blocks*8, SUB) — for b3d scaling
+    minvT: np.ndarray
+    n_dense: int
+    head_pad: int
+    x_rows: int               # x2d_m rows / 8 (windows incl. nwin-1 guard)
+    nwin: int
+
+
+def build_layout_m(l: CSR, *, lower: bool = True,
+                   unit_diagonal: bool = False, th: int = 32,
+                   nwin: int = 16, cache: bool = True) -> TrsvLayoutM:
+    from ... import plan_cache
+
+    if (cache and plan_cache.cache_enabled()
+            and l.nnz >= plan_cache.MIN_CACHE_NNZ):
+        params = {"lower": lower, "unit": unit_diagonal, "th": th,
+                  "nwin": nwin, "v": 1}
+
+        def build():
+            lay = _build_layout_m_impl(l, lower=lower,
+                                       unit_diagonal=unit_diagonal, th=th,
+                                       nwin=nwin)
+            return {
+                "perm": lay.perm, "slot": lay.slot_of_row, "val": lay.val,
+                "lcol": lay.lcol, "wrow": lay.round_wrow,
+                "oblk": lay.round_oblk, "qgrp": lay.round_qgrp,
+                "final": lay.round_final, "bfirst": lay.round_bfirst,
+                "dense": lay.round_dense, "dblk": lay.round_dblk,
+                "invd": lay.inv_diag, "minvT": lay.minvT,
+                "meta": np.array([lay.n, lay.nnz, lay.nlevels,
+                                  lay.num_blocks, lay.num_tiles, lay.th,
+                                  lay.x_rows, lay.n_dense, lay.nwin,
+                                  lay.head_pad], dtype=np.int64),
+            }
+
+        d = plan_cache.cached_arrays(l, "trsvm", params, build)
+        mt = d["meta"]
+        return TrsvLayoutM(
+            n=int(mt[0]), nnz=int(mt[1]), nlevels=int(mt[2]),
+            num_blocks=int(mt[3]), num_tiles=int(mt[4]), th=int(mt[5]),
+            perm=d["perm"], slot_of_row=d["slot"], val=d["val"],
+            lcol=d["lcol"], round_wrow=d["wrow"], round_oblk=d["oblk"],
+            round_qgrp=d["qgrp"], round_final=d["final"],
+            round_bfirst=d["bfirst"], round_dense=d["dense"],
+            round_dblk=d["dblk"], inv_diag=d["invd"], minvT=d["minvT"],
+            n_dense=int(mt[7]), head_pad=int(mt[9]), x_rows=int(mt[6]),
+            nwin=int(mt[8]),
+        )
+    return _build_layout_m_impl(l, lower=lower, unit_diagonal=unit_diagonal,
+                                th=th, nwin=nwin)
+
+
+def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
+                         th: int, nwin: int) -> TrsvLayoutM:
+    an = _analyze(l, lower=lower, unit_diagonal=unit_diagonal)
+    n = an.n
+    num_blocks = an.num_blocks
+    head_pad = an.head_pad
+    head_blocks = an.head_blocks
+
+    cols = l.indices.astype(np.int64)
+    data = l.data.astype(np.float64)
+    rows_coo = l.row_ids().astype(np.int64)
+    off = (cols < rows_coo) if lower else (cols > rows_coo)
+    own = an.slot_of_row[rows_coo[off]].astype(np.int64)
+    dep = an.slot_of_row[cols[off]].astype(np.int64)
+    v = data[off]
+    # head rows fold 1/diag into the value stream; dense-tail rows keep raw
+    # values and drop intra-block deps (the block inverse carries them)
+    dense_mask = own >= head_pad
+    scale = np.where(dense_mask, 1.0, 1.0 / an.diag[rows_coo[off]])
+    v = v * scale
+    keep = ~(dense_mask & (dep // 128 == own // 128))
+    own, dep, v = own[keep], dep[keep], v[keep]
+
+    # sort by (block, qgrp, row, dep slot)
+    o = np.lexsort((dep, own))
+    own, dep, v = own[o], dep[o], v[o]
+
+    blk = own // 128
+    qg = (own % 128) // GROUP
+    rowj = own % GROUP
+    pan = dep // LANES
+
+    rounds = []     # (w, b, q, fin, bf, vt(128,), ct(128,))
+    seen_tiles = set()
+
+    # group boundaries per (blk, qgrp)
+    key = blk * 8 + qg
+    # per block: list of its (b,q) segment ranges
+    idx_sorted = np.arange(len(own))
+    # boundaries of equal (blk,qgrp) runs
+    if len(own):
+        cut_pts = np.flatnonzero(np.diff(key)) + 1
+        seg_starts = np.concatenate([[0], cut_pts])
+        seg_ends = np.concatenate([cut_pts, [len(own)]])
+        seg_of_block: dict[int, list[tuple[int, int]]] = {}
+        for s0, s1 in zip(seg_starts, seg_ends):
+            seg_of_block.setdefault(int(blk[s0]), []).append((int(s0),
+                                                             int(s1)))
+    else:
+        seg_of_block = {}
+
+    for b in range(num_blocks):
+        b_rounds = []
+        for (s0, s1) in seg_of_block.get(b, []):
+            q = int(qg[s0])
+            # per-row cursors within this (b, q) segment
+            ptr = {}
+            for i in range(s0, s1):
+                ptr.setdefault(int(rowj[i]), []).append(i)
+            nexts = {j: 0 for j in ptr}
+            while True:
+                pend = [(int(pan[ptr[j][nexts[j]]]), j) for j in ptr
+                        if nexts[j] < len(ptr[j])]
+                if not pend:
+                    break
+                wsel = min(p for p, _ in pend)
+                vt = np.zeros(LANES, dtype=np.float32)
+                ct = np.zeros(LANES, dtype=np.int64)
+                first = 1 if (b, q) not in seen_tiles else 0
+                seen_tiles.add((b, q))
+                for _, j in pend:
+                    used = 0
+                    while nexts[j] < len(ptr[j]) and used < LPS_M:
+                        i = ptr[j][nexts[j]]
+                        p = int(pan[i])
+                        if p > wsel + nwin - 1:
+                            break
+                        vt[j * LPS_M + used] = v[i]
+                        ct[j * LPS_M + used] = dep[i] - wsel * LANES
+                        used += 1
+                        nexts[j] += 1
+                b_rounds.append([wsel, b, q, 0, first, vt, ct])
+        if not b_rounds:
+            # dependency-free block still needs its solve trigger
+            b_rounds.append([0, b, 0, 0,
+                             1 if (b, 0) not in seen_tiles else 0,
+                             np.zeros(LANES, np.float32),
+                             np.zeros(LANES, np.int64)])
+            seen_tiles.add((b, 0))
+        b_rounds[-1][3] = 1     # final round of the block
+        rounds.extend(b_rounds)
+
+    R = len(rounds)
+    T = max(-(-R // th), 1)
+    val = np.zeros((T * th, LANES), dtype=np.float32)
+    lcol = np.zeros((T * th, LANES), dtype=np.int64)
+    wrow = np.zeros(T * th, dtype=np.int64)
+    oblk = np.full(T * th, num_blocks, dtype=np.int64)   # pad -> dump slab
+    qgrp = np.zeros(T * th, dtype=np.int64)
+    final = np.zeros(T * th, dtype=np.int64)
+    bfirst = np.ones(T * th, dtype=np.int64)
+    for i, (w, b, q, f, bf, vt, ct) in enumerate(rounds):
+        val[i] = vt
+        lcol[i] = ct
+        wrow[i] = w
+        oblk[i] = b
+        qgrp[i] = q
+        final[i] = f
+        bfirst[i] = bf
+
+    dense = ((oblk >= head_blocks) & (oblk < num_blocks)
+             & (final == 1)).astype(np.int64)
+    dblk = np.where(dense == 1, oblk - head_blocks, 0)
+    return TrsvLayoutM(
+        n=n, nnz=l.nnz, nlevels=an.nlevels, num_blocks=num_blocks,
+        num_tiles=T, th=th, perm=an.order.astype(INDEX_DTYPE),
+        slot_of_row=an.slot_of_row.astype(INDEX_DTYPE),
+        val=val, lcol=lcol.astype(INDEX_DTYPE),
+        round_wrow=wrow.astype(INDEX_DTYPE),
+        round_oblk=oblk.astype(INDEX_DTYPE),
+        round_qgrp=qgrp.astype(INDEX_DTYPE),
+        round_final=final.astype(INDEX_DTYPE),
+        round_bfirst=bfirst.astype(INDEX_DTYPE),
+        round_dense=dense.astype(INDEX_DTYPE),
+        round_dblk=dblk.astype(INDEX_DTYPE),
+        inv_diag=an.inv_diag, minvT=an.minvT, n_dense=an.n_dense,
+        head_pad=head_pad, x_rows=num_blocks + nwin - 1, nwin=nwin,
+    )
+
+
+def _kernel_m(th, n_dense, nwin):
+    """Multi-RHS wavefront body: sublane = RHS, lane = (group-row, dep)."""
+
+    def kern(wrow_ref, oblk_ref, qg_ref, final_ref, bfirst_ref,
+             dense_ref, dblk_ref, b_ref, val_ref, col_ref, minv_ref,
+             x_ref, acc_ref):
+        t = pl.program_id(0)
+
+        # seg[l, q] = 1 where lane l belongs to group-row q = l // 8
+        seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, GROUP), 0) // LPS_M
+               == jax.lax.broadcasted_iota(jnp.int32, (LANES, GROUP), 1)
+               ).astype(jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.zeros_like(x_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for i in range(th):
+            r = t * th + i
+            w = wrow_ref[r]
+            b = oblk_ref[r]
+            q = qg_ref[r]
+            fin = final_ref[r]
+            bf = bfirst_ref[r]
+            v = val_ref[i:i + 1, :].astype(jnp.float32)      # (1, 128)
+            c = col_ref[i:i + 1, :].astype(jnp.int32)        # (1, 128)
+            cfull = jnp.broadcast_to(c, (SUBLANES, LANES))
+            vb = jnp.broadcast_to(v, (SUBLANES, LANES))
+            g = None
+            for j in range(nwin):
+                cj = jnp.broadcast_to(jnp.clip(c - j * 128, 0, 127),
+                                      (SUBLANES, LANES))
+                tab = x_ref[pl.ds((w + j) * SUBLANES, SUBLANES), :]
+                gj = jnp.take_along_axis(tab, cj, axis=1)
+                g = gj if g is None else jnp.where(cfull >= j * 128, gj, g)
+            part = jnp.dot(vb * g, seg,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (8, 16)
+            slab = (b * SUBLANES + q) * SUBLANES
+            acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
+            acc_new = jnp.where(bf == 1, part, acc_cur + part)
+            acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
+
+            if n_dense:
+                dn = dense_ref[r]
+                db = dblk_ref[r]
+
+                @pl.when((fin == 1) & (dn == 0))
+                def _(b=b):
+                    for q2 in range(SUBLANES):
+                        sl = (b * SUBLANES + q2) * SUBLANES
+                        bv = b_ref[pl.ds(sl, SUBLANES), :]
+                        av = acc_ref[pl.ds(sl, SUBLANES), :]
+                        x_ref[pl.ds(b * SUBLANES, SUBLANES),
+                              q2 * GROUP:(q2 + 1) * GROUP] = bv - av
+
+                @pl.when((fin == 1) & (dn == 1))
+                def _(b=b, db=db):
+                    for q2 in range(SUBLANES):
+                        sl = (b * SUBLANES + q2) * SUBLANES
+                        bv = b_ref[pl.ds(sl, SUBLANES), :]
+                        av = acc_ref[pl.ds(sl, SUBLANES), :]
+                        x_ref[pl.ds(b * SUBLANES, SUBLANES),
+                              q2 * GROUP:(q2 + 1) * GROUP] = bv - av
+                    xb = x_ref[pl.ds(b * SUBLANES, SUBLANES), :]  # (8,128)
+                    mv = minv_ref[pl.ds(db * LANES, LANES), :]
+                    x_ref[pl.ds(b * SUBLANES, SUBLANES), :] = jnp.dot(
+                        xb, mv, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            else:
+                @pl.when(fin == 1)
+                def _(b=b):
+                    for q2 in range(SUBLANES):
+                        sl = (b * SUBLANES + q2) * SUBLANES
+                        bv = b_ref[pl.ds(sl, SUBLANES), :]
+                        av = acc_ref[pl.ds(sl, SUBLANES), :]
+                        x_ref[pl.ds(b * SUBLANES, SUBLANES),
+                              q2 * GROUP:(q2 + 1) * GROUP] = bv - av
+
+    return kern
+
+
+class PallasSptrsvLanes:
+    """Multi-RHS (k <= 8 on sublanes) wavefront executor."""
+
+    MAX_RHS = 8
+
+    def __init__(self, l: CSR, *, lower: bool = True,
+                 unit_diagonal: bool = False, th: int = 32, nwin: int = 16):
+        if l.dtype == np.float64:
+            raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        lay = build_layout_m(l, lower=lower, unit_diagonal=unit_diagonal,
+                             th=th, nwin=nwin)
+        # whole-VMEM budget: x + acc + b + minv + double-buffered tiles
+        vmem_est = (lay.x_rows * 8 * 128 + (lay.num_blocks + 1) * 64 * SUB
+                    + lay.num_blocks * 64 * SUB + lay.minvT.size
+                    + 2 * lay.th * 128 * 2) * 4
+        if vmem_est > 13 * (1 << 20):
+            raise ValueError(
+                f"multi-RHS wavefront needs ~{vmem_est >> 20} MB VMEM; "
+                "use the per-RHS chunked path"
+            )
+        self.layout = lay
+        self.shape = l.shape
+        self.dtype = l.dtype
+        self.nlevels = lay.nlevels
+        self.bytes_per_iter = lay.val.size * 8 + lay.n * 8 * 4
+        self._val = jnp.asarray(lay.val)
+        self._lcol = jnp.asarray(lay.lcol)
+        self._wr = jnp.asarray(lay.round_wrow)
+        self._ob = jnp.asarray(lay.round_oblk)
+        self._qg = jnp.asarray(lay.round_qgrp)
+        self._fin = jnp.asarray(lay.round_final)
+        self._bfirst = jnp.asarray(lay.round_bfirst)
+        self._dense = jnp.asarray(lay.round_dense)
+        self._dblk = jnp.asarray(lay.round_dblk)
+        self._minvT = jnp.asarray(lay.minvT)
+        self._call = self._build()
+
+    def _build(self):
+        from ...utils.backend import on_cpu
+
+        lay = self.layout
+        idx = lambda t, *_: (t, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(lay.num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # b3d whole
+                pl.BlockSpec((lay.th, LANES), idx),       # val
+                pl.BlockSpec((lay.th, LANES), idx),       # lcol
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # minvT whole
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x2d_m
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # acc
+            ),
+        )
+        return pl.pallas_call(
+            _kernel_m(lay.th, lay.n_dense, lay.nwin),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((lay.x_rows * SUBLANES, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct(((lay.num_blocks + 1) * 64, SUB),
+                                     jnp.float32),
+            ),
+            interpret=on_cpu(),
+        )
+
+    def device_arrays(self):
+        return {"wr": self._wr, "ob": self._ob, "qg": self._qg,
+                "fin": self._fin, "bfirst": self._bfirst,
+                "dense": self._dense, "dblk": self._dblk,
+                "minvT": self._minvT, "val": self._val, "lcol": self._lcol}
+
+    def solve_permuted(self, arrs, b3d):
+        """b3d: (num_blocks*64, SUB) packed via b_to_b3d -> x2d_m."""
+        x2d, _acc = self._call(arrs["wr"], arrs["ob"], arrs["qg"],
+                               arrs["fin"], arrs["bfirst"], arrs["dense"],
+                               arrs["dblk"], b3d, arrs["val"], arrs["lcol"],
+                               arrs["minvT"])
+        return x2d
+
+    def b_to_b3d(self, b: np.ndarray) -> np.ndarray:
+        """Host-side pack of (n, k<=8) RHS into the (RHS-on-sublanes) b3d:
+        b3d[(blk*8+q)*8 + kk, j] = b[row of slot blk*128+q*16+j, kk],
+        head slots pre-scaled by 1/diag (dense slots raw)."""
+        lay = self.layout
+        n, nb = lay.n, lay.num_blocks
+        k = b.shape[1]
+        if k > self.MAX_RHS:
+            raise ValueError(f"k={k} exceeds MAX_RHS={self.MAX_RHS}")
+        bp = np.zeros((nb * 128, self.MAX_RHS), dtype=np.float32)
+        bp[np.asarray(lay.slot_of_row), :k] = np.asarray(b, np.float32)
+        # inv_diag is (nb*8, SUB): slot p -> (p//16, p%16)
+        scale = np.asarray(lay.inv_diag).reshape(-1)   # (nb*128,)
+        bp *= scale[:, None]
+        p = np.arange(nb * 128)
+        tile_row = (p // 128 * 8 + (p % 128) // GROUP) * 8
+        b3d = np.zeros((nb * 64, SUB), dtype=np.float32)
+        for kk in range(self.MAX_RHS):
+            b3d[tile_row + kk, p % GROUP] = bp[:, kk]
+        return b3d
+
+    def x2d_to_x(self, x2d: np.ndarray, k: int) -> np.ndarray:
+        """Host-side unpack: x[row, kk] = x2d[(slot//128)*8 + kk,
+        slot % 128]."""
+        lay = self.layout
+        slots = np.asarray(lay.slot_of_row)
+        x2d = np.asarray(x2d)
+        out = np.empty((lay.n, k), dtype=self.dtype)
+        for kk in range(k):
+            out[:, kk] = x2d[(slots // 128) * 8 + kk, slots % 128]
+        return out

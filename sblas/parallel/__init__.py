@@ -12,13 +12,15 @@ Develop/test on a CPU mesh via XLA_FLAGS=--xla_force_host_platform_device_count=
 identical code runs on a real v5e pod slice.
 
 Multi-host: after `jax.distributed.initialize()`, `jax.devices()` spans all
-hosts, so `make_mesh()`/`make_mesh2d()` build global meshes unchanged — XLA
-routes the same collectives over ICI within a slice and DCN across hosts.
-Prefer the 2D/halo plans there: their per-chip collective bytes are the
-ones that survive DCN's lower bandwidth.
+hosts. The flat plans work unchanged on a global mesh, but the hierarchical
+('hosts', 'chips') plans (`sblas.parallel.hier`) split every collective by
+mesh axis — all_gather over 'chips' rides ICI, the once-per-host hop over
+'hosts' rides DCN. Prefer those (or the 2D/halo plans, whose per-chip
+collective bytes shrink with the mesh) when DCN is in the path.
 """
 
-from .mesh import make_mesh, make_mesh2d, chips_axis, rows_axis, cols_axis
+from .mesh import (make_mesh, make_mesh2d, chips_axis, rows_axis, cols_axis,
+                   hosts_axis)
 from .spmv_dist import DistSpmvPlan, RingSpmvPlan, dist_spmv
 from .spmv_halo import HaloSpmvPlan, HaloSpmmPlan, halo_spmv, halo_spmm
 from .spmv2d import Dist2DSpmvPlan, dist_spmv2d
@@ -26,9 +28,11 @@ from .spmm2d import Dist2DSpmmPlan, dist_spmm2d
 from .spmm_dist import DistSpmmPlan, dist_spmm
 from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
 from .sptrsm_dist import DistSptrsmPlan, dist_sptrsm
+from .hier import HierSpmvPlan, HierSpmmPlan, make_mesh_hier
 
 __all__ = [
     "make_mesh", "make_mesh2d", "chips_axis", "rows_axis", "cols_axis",
+    "hosts_axis", "HierSpmvPlan", "HierSpmmPlan", "make_mesh_hier",
     "DistSpmvPlan", "RingSpmvPlan", "dist_spmv",
     "HaloSpmvPlan", "halo_spmv", "HaloSpmmPlan", "halo_spmm",
     "Dist2DSpmvPlan", "dist_spmv2d",

@@ -10,6 +10,7 @@ from jax.sharding import Mesh
 chips_axis = "chips"
 rows_axis = "rows"
 cols_axis = "cols"
+hosts_axis = "hosts"
 
 
 def make_mesh(ndev: int | None = None) -> Mesh:

@@ -16,7 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..formats import CSR, INDEX_DTYPE
-from ..partition import partition_rows
+from ..partition import partition_rows, partition_nnz_split
 from .mesh import make_mesh, chips_axis
 from .spmv_dist import _stack_ell, _round_up
 
@@ -31,14 +31,38 @@ class DistSpmmPlan:
         self.ndev = ndev
         self.shape = a.shape
         self.dtype = a.dtype
+        self.strategy = strategy
         self.row_block = row_block
         self._min_fill = min_fill
         m, n = a.shape
         self.x_chunk = _round_up(max(-(-n // ndev), 1), 8)
         self.n_pad = self.x_chunk * ndev
 
-        part = partition_rows(a, ndev, strategy)
-        self._row_starts = [int(r) for r in part.row_starts]
+        self._split = strategy == "nnz_split"
+        if self._split:
+            # equal-nnz ranges (rows may be cut): express each shard in
+            # GLOBAL row coordinates so the partial Y rows psum-merge,
+            # exactly like the nnz_split SpMV bodies (spmv_dist.py)
+            from ..formats import COO, coo_to_csr
+
+            npart = partition_nnz_split(a, ndev)
+            parts = []
+            for d, p in enumerate(npart.parts):
+                coo = p.tocoo()
+                r0 = int(npart.first_row[d])
+                parts.append(coo_to_csr(COO(
+                    (m, n), coo.row.astype(np.int64) + r0, coo.col, coo.data
+                )))
+
+            class _P:  # duck-typed partition holder for the shared init path
+                pass
+
+            part = _P()
+            part.parts = tuple(parts)
+            self._row_starts = None
+        else:
+            part = partition_rows(a, ndev, strategy)
+            self._row_starts = [int(r) for r in part.row_starts]
         sh = lambda spec: NamedSharding(self.mesh, spec)
         self._sh = sh
 
@@ -58,9 +82,12 @@ class DistSpmmPlan:
                 self._bbcol = jax.device_put(st.bcol, sh(P(chips_axis)))
                 from .wsell_stack import unpad_slots
 
-                self._bunpad = jnp.asarray(
-                    unpad_slots(self._row_starts,
-                                st.num_brows * 128).astype(INDEX_DTYPE))
+                if self._split:
+                    self._bunpad = jnp.arange(m, dtype=INDEX_DTYPE)
+                else:
+                    self._bunpad = jnp.asarray(
+                        unpad_slots(self._row_starts,
+                                    st.num_brows * 128).astype(INDEX_DTYPE))
                 self.local_method = "bsr_t"
                 self.bytes_per_iter_nx = st.bytes_per_iter * ndev
             except ValueError:
@@ -77,11 +104,15 @@ class DistSpmmPlan:
                 self._ob = jax.device_put(st.obase, sh(P(chips_axis)))
                 self._pval = jax.device_put(st.val, sh(P(chips_axis)))
                 self._plcol = jax.device_put(st.lcol, sh(P(chips_axis)))
-                slot = np.empty(m, dtype=np.int64)
-                for d in range(ndev):
-                    r0, r1 = self._row_starts[d], self._row_starts[d + 1]
-                    slot[r0:r1] = d * st.y_rows * st.sub + np.arange(r1 - r0)
-                self._punpad = jnp.asarray(slot.astype(INDEX_DTYPE))
+                if self._split:
+                    self._punpad = jnp.arange(m, dtype=INDEX_DTYPE)
+                else:
+                    slot = np.empty(m, dtype=np.int64)
+                    for d in range(ndev):
+                        r0, r1 = self._row_starts[d], self._row_starts[d + 1]
+                        slot[r0:r1] = (d * st.y_rows * st.sub
+                                       + np.arange(r1 - r0))
+                    self._punpad = jnp.asarray(slot.astype(INDEX_DTYPE))
                 self.local_method = "pallas"
                 self.bytes_per_iter_nx = st.bytes_per_iter * ndev
             except ValueError:
@@ -105,10 +136,14 @@ class DistSpmmPlan:
         self._runs = {}
 
     def _init_pseg(self, a, part, sh):
-        from .wsell_stack import hub_stack_pseg
+        from .wsell_stack import hub_stack_pseg, hub_stack_pseg_split
 
-        st, colperm = hub_stack_pseg(a, self._row_starts, self.n_pad,
-                                     min_fill=self._min_fill)
+        if self._split:
+            st, colperm = hub_stack_pseg_split(a, self.ndev, self.n_pad,
+                                               min_fill=self._min_fill)
+        else:
+            st, colperm = hub_stack_pseg(a, self._row_starts, self.n_pad,
+                                         min_fill=self._min_fill)
         self._psk = st
         self._pseg_colperm = colperm
         self.bytes_per_iter_nx = st.bytes_per_iter * self.ndev
@@ -130,11 +165,15 @@ class DistSpmmPlan:
         dtype = self.dtype
         col, val, rows_pad, width = _stack_ell(self._ell_parts, n, dtype)
         self.rows_pad = rows_pad
-        slot = np.empty(m, dtype=np.int64)
-        for d in range(ndev):
-            r0, r1 = self._row_starts[d], self._row_starts[d + 1]
-            slot[r0:r1] = d * rows_pad + np.arange(r1 - r0)
-        self._unpad = jnp.asarray(slot.astype(np.int32))
+        if self._split:
+            # global-shape parts: rows already global, psum merges partials
+            self._unpad = jnp.arange(m, dtype=np.int32)
+        else:
+            slot = np.empty(m, dtype=np.int64)
+            for d in range(ndev):
+                r0, r1 = self._row_starts[d], self._row_starts[d + 1]
+                slot[r0:r1] = d * rows_pad + np.arange(r1 - r0)
+            self._unpad = jnp.asarray(slot.astype(np.int32))
         self._col = jax.device_put(col, self._sh(P(chips_axis)))
         self._val = jax.device_put(val, self._sh(P(chips_axis)))
         self._ell_bytes_nx = col.size * (dtype.itemsize + 4)
@@ -197,6 +236,8 @@ class DistSpmmPlan:
             interpret=on_cpu(),
         )
 
+        split = self._split
+
         def body(brow, bcol, at, x_shard):
             with jax.named_scope("collective"):
                 x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
@@ -204,12 +245,16 @@ class DistSpmmPlan:
                          ((0, xpad), (0, kp - k))).T      # (kp, cols)
             with jax.named_scope("kernel"):
                 yt = call(brow[0], bcol[0], xt, at[0])
+            if split:
+                with jax.named_scope("collective"):
+                    yt = lax.psum(yt, chips_axis)
             return yt.T[None]                             # (1, rows, kp)
 
         fn = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(chips_axis),) * 3 + (P(chips_axis, None),),
-            out_specs=P(chips_axis, None, None),
+            out_specs=(P(None, None, None) if split
+                       else P(chips_axis, None, None)),
             check_vma=False,
         )
         unpad = self._bunpad
@@ -259,6 +304,8 @@ class DistSpmmPlan:
                 interpret=on_cpu(),
             )
 
+            split = self._split
+
             def body(wr, ob, val, lcol, tsb, srow, scol, sval, x_shard):
                 with jax.named_scope("collective"):
                     x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
@@ -270,12 +317,16 @@ class DistSpmmPlan:
                 y = y.at[srow[0], :].add(
                     sval[0][:, None] * x_full[scol[0], :]
                 )
+                if split:
+                    with jax.named_scope("collective"):
+                        y = lax.psum(y, chips_axis)
                 return y[None]
 
             return shard_map(
                 body, mesh=self.mesh,
                 in_specs=(P(chips_axis),) * 8 + (P(chips_axis, None),),
-                out_specs=P(chips_axis, None, None),
+                out_specs=(P(None, None, None) if split
+                           else P(chips_axis, None, None)),
                 check_vma=False,
             )
 
@@ -330,17 +381,22 @@ class DistSpmmPlan:
             interpret=on_cpu(),
         )
 
+        split = self._split
+
         def body(wr, ob, val, lcol, x_shard):
             x_full = lax.all_gather(x_shard, chips_axis, tiled=True)  # (n_pad, k)
             xt = jnp.pad(x_full.astype(jnp.float32), ((0, xpad), (0, 0)))
             xt = xt.reshape(st.x2d_rows, LANES, k).transpose(2, 0, 1)
             y = call(wr[0], ob[0], xt, val[0], lcol[0])  # (y_rows, k*sub)
+            if split:
+                y = lax.psum(y, chips_axis)
             return y[None]
 
         fn = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(chips_axis),) * 4 + (P(chips_axis, None),),
-            out_specs=P(chips_axis, None, None),
+            out_specs=(P(None, None, None) if split
+                       else P(chips_axis, None, None)),
             check_vma=False,
         )
         unpad = self._punpad
@@ -364,6 +420,8 @@ class DistSpmmPlan:
         nblk = rows_pad // blk
         unpad = self._unpad
 
+        split = self._split
+
         def body(col, val, x_shard):
             x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
 
@@ -373,12 +431,15 @@ class DistSpmmPlan:
                 return jnp.einsum("rw,rwk->rk", v, x_full[c])
 
             y = lax.map(f, jnp.arange(nblk)).reshape(rows_pad, k)
+            if split:
+                y = lax.psum(y, chips_axis)
             return y[None]
 
         fn = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(chips_axis), P(chips_axis), P(chips_axis, None)),
-            out_specs=P(chips_axis, None, None),
+            out_specs=(P(None, None, None) if split
+                       else P(chips_axis, None, None)),
             check_vma=False,
         )
 

@@ -98,8 +98,7 @@ class DistSpmvPlan:
             except ValueError:
                 if local_method == "pallas":
                     raise
-        if self.local_method is None and not self._split and \
-                local_method in ("auto", "pseg"):
+        if self.local_method is None and local_method in ("auto", "pseg"):
             # scattered/power-law shards: hub-relabeled packed-segment path
             try:
                 self._init_pseg(a, part, sh)
@@ -134,13 +133,19 @@ class DistSpmvPlan:
             self._unpad = jnp.asarray(slot.astype(INDEX_DTYPE))
 
     def _init_pseg(self, a, part, sh):
-        from .wsell_stack import hub_stack_pseg
+        from .wsell_stack import hub_stack_pseg, hub_stack_pseg_split
 
-        # global hub relabeling of columns; rows unaffected, so the
-        # nnz-balanced row partition is re-applied to the relabeled matrix
-        row_starts = [int(r) for r in part.row_starts]
-        st, colperm = hub_stack_pseg(a, row_starts, self.n_pad,
-                                     min_fill=self._min_fill)
+        if self._split:
+            # nnz-split: global row/col permutation + equal-nnz ranges of
+            # global-shape shards whose partial y2d outputs psum-merge
+            st, colperm = hub_stack_pseg_split(a, self.ndev, self.n_pad,
+                                               min_fill=self._min_fill)
+        else:
+            # global hub relabeling of columns; rows unaffected, so the
+            # nnz-balanced row partition is re-applied to the relabeled matrix
+            row_starts = [int(r) for r in part.row_starts]
+            st, colperm = hub_stack_pseg(a, row_starts, self.n_pad,
+                                         min_fill=self._min_fill)
         self._pstacked = st
         self._pseg_colperm = colperm
         self.bytes_per_iter = st.bytes_per_iter * self.ndev
@@ -221,6 +226,8 @@ class DistSpmvPlan:
             interpret=on_cpu(),
         )
 
+        split = self._split
+
         def body(wr, ob, val, lcol, tsb, srow, scol, sval, x_shard):
             with jax.named_scope("collective"):
                 x_full = lax.all_gather(x_shard, chips_axis, tiled=True)
@@ -231,12 +238,17 @@ class DistSpmvPlan:
             y = y2d.reshape(-1)
             # straggler COO side-path (tiny count; see retile_pseg)
             y = y.at[srow[0]].add(sval[0] * x_full[scol[0]])
+            if split:
+                # global-shape shards (cut rows held partially by two
+                # chips): one psum merges the partial products
+                with jax.named_scope("collective"):
+                    y = lax.psum(y, chips_axis)
             return y[None]
 
         fn = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(chips_axis),) * 8 + (P(chips_axis),),
-            out_specs=P(chips_axis, None),
+            out_specs=P(None, None) if split else P(chips_axis, None),
             check_vma=False,
         )
         unpad = self._unpad

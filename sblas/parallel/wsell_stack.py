@@ -165,6 +165,26 @@ def stack_pseg(a: CSR, parts: list[CSR], row_starts: list[int], n_pad: int,
                               th=th, cache=False))
         rowperms.append(rp)
 
+    fill = _pseg_fill_check(lays, min_fill)
+    stacked = _stack_pseg_arrays(lays, n_pad, th)
+
+    # original row -> position in the stacked (ndev, y_rows*128) output
+    y_rows = stacked["y_rows"]
+    rowperm_inv = np.empty(m, dtype=np.int64)
+    for d in range(ndev):
+        r0, r1 = row_starts[d], row_starts[d + 1]
+        inv = np.empty(r1 - r0, dtype=np.int64)
+        inv[rowperms[d]] = np.arange(r1 - r0)
+        rowperm_inv[r0:r1] = d * y_rows * LANES + inv
+
+    return StackedPSeg(
+        ndev=ndev, th=th, n_pad=n_pad,
+        colperm=np.zeros(0, np.int64),  # caller-owned (global relabeling)
+        rowperm_inv=rowperm_inv, fill=fill, **stacked,
+    )
+
+
+def _pseg_fill_check(lays, min_fill: float) -> float:
     kept = sum(l.nnz - l.n_stragglers for l in lays)
     slots = sum(l.val.size for l in lays)
     fill = kept / max(slots, 1)
@@ -172,7 +192,13 @@ def stack_pseg(a: CSR, parts: list[CSR], row_starts: list[int], n_pad: int,
         raise ValueError(
             f"stacked PSEG fill {fill:.2f} below {min_fill}; XLA dist path"
         )
+    return fill
 
+
+def _stack_pseg_arrays(lays, n_pad: int, th: int) -> dict:
+    """Pad per-chip PSEG layouts to a common geometry (dict of StackedPSeg
+    fields shared by the row-split and nnz-split stackers)."""
+    ndev = len(lays)
     T = max(l.num_tiles for l in lays)
     y_rows = max(l.y_rows for l in lays)
     x2d_rows = max(max(l.x2d_rows for l in lays), -(-n_pad // LANES))
@@ -203,22 +229,60 @@ def stack_pseg(a: CSR, parts: list[CSR], row_starts: list[int], n_pad: int,
             s_cols[d, :ns_] = l.s_cols
             s_vals[d, :ns_] = l.s_vals
 
-    # original row -> position in the stacked (ndev, y_rows*128) output
-    rowperm_inv = np.empty(m, dtype=np.int64)
-    for d in range(ndev):
-        r0, r1 = row_starts[d], row_starts[d + 1]
-        inv = np.empty(r1 - r0, dtype=np.int64)
-        inv[rowperms[d]] = np.arange(r1 - r0)
-        rowperm_inv[r0:r1] = d * y_rows * LANES + inv
-
-    return StackedPSeg(
-        ndev=ndev, th=th, num_tiles=T, y_rows=y_rows, x2d_rows=x2d_rows,
-        n_pad=n_pad, val=val, lcol=lcol, tsb=tsb, wrow=wrow, oblk=oblk,
+    return dict(
+        num_tiles=T, y_rows=y_rows, x2d_rows=x2d_rows,
+        val=val, lcol=lcol, tsb=tsb, wrow=wrow, oblk=oblk,
         s_rows=s_rows, s_cols=s_cols, s_vals=s_vals,
-        colperm=np.zeros(0, np.int64),  # caller-owned (global relabeling)
-        rowperm_inv=rowperm_inv, fill=fill,
         bytes_per_iter=T * th * LANES * 8 + S * 12,
     )
+
+
+def hub_stack_pseg_split(a: CSR, ndev: int, n_pad: int, *,
+                         min_fill: float, th: int = 256):
+    """nnz-split PSEG stacking: hub-relabel columns, degree-sort rows
+    GLOBALLY, then cut the permuted nnz stream into equal ranges (rows may be
+    cut). Each chip packs its range as a GLOBAL-shape matrix, so every chip's
+    y2d lives in the same (permuted) row space — partial products from cut
+    rows merge with one psum, exactly like the w-SELL/ELL nnz-split bodies.
+
+    Returns (StackedPSeg, colperm, rowperm_inv) where rowperm_inv maps
+    original row -> flat y2d position (PSEG's y2d flattens to permuted row
+    order: block*1024 + sublane*128 + lane = row index)."""
+    from ..partition import partition_nnz_split
+    from ..retile_pseg import pack_pseg
+    from ..formats import COO, CSR as _CSR, coo_to_csr
+
+    if a.dtype == np.float64:
+        raise ValueError("Mosaic has no f64; use the XLA dist path")
+    m, n = a.shape
+    pop = np.bincount(a.indices, minlength=n)
+    colperm = np.argsort(-pop, kind="stable").astype(np.int64)
+    deg = a.row_lengths
+    rowperm = np.argsort(-deg, kind="stable").astype(np.int64)
+    s = a.to_scipy().tocsr()[rowperm].tocsr()[:, colperm].tocsr()
+    s.sort_indices()
+    ap = _CSR.from_scipy(s).astype(a.dtype)
+
+    part = partition_nnz_split(ap, ndev)
+    lays = []
+    for d, p in enumerate(part.parts):
+        coo = p.tocoo()
+        r0 = int(part.first_row[d])
+        pg = coo_to_csr(COO((m, n), coo.row.astype(np.int64) + r0,
+                            coo.col, coo.data))
+        lays.append(pack_pseg(pg, th=th, cache=False))
+
+    fill = _pseg_fill_check(lays, min_fill)
+    stacked = _stack_pseg_arrays(lays, n_pad, th)
+    rowperm_inv = np.empty(m, dtype=np.int64)
+    rowperm_inv[rowperm] = np.arange(m)
+
+    st = StackedPSeg(
+        ndev=ndev, th=th, n_pad=n_pad,
+        colperm=np.zeros(0, np.int64),
+        rowperm_inv=rowperm_inv, fill=fill, **stacked,
+    )
+    return st, colperm
 
 
 def split_2d_blocks(parts, n_chunk: int, ncols: int):

@@ -58,8 +58,9 @@ def test_dist_spmm_fuzz(seed, mesh8):
               rng.standard_normal(nnz).astype(np.float32))
     a = coo_to_csr(coo).astype(np.float32)
     x = rng.standard_normal((n, k)).astype(np.float32)
-    y = np.asarray(DistSpmmPlan(a, mesh8)(x))
-    assert rel_err(y, spmm_golden(a, x)) < 1e-4, (m, n, k, nnz)
+    strategy = ["even_rows", "nnz_balanced", "nnz_split", "nnz_split"][seed % 4]
+    y = np.asarray(DistSpmmPlan(a, mesh8, strategy=strategy)(x))
+    assert rel_err(y, spmm_golden(a, x)) < 1e-4, (m, n, k, nnz, strategy)
 
 
 @pytest.mark.parametrize("seed", range(4))
