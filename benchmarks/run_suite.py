@@ -16,6 +16,9 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# fp64 records need real f64 — without this flag jax silently downcasts
+# float64 to f32 (caught round 5: f64 SpMV "validated" at 1e-7)
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

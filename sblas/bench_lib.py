@@ -110,6 +110,15 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
     rng = np.random.default_rng(0)
     with jax.profiler.TraceAnnotation("H2D"):
         x0 = jnp.asarray(rng.standard_normal((n, k)).astype(a.dtype))
+    if plan._csr is not None:
+        # the bench drives plan.apply_pure directly (no __call__ fallback
+        # wrapper), so resolve the per-k fallback up front: eval_shape
+        # traces apply_pure, firing the host-side VMEM/unroll guards
+        # without touching the device
+        try:
+            jax.eval_shape(plan.apply_pure, plan.device_arrays(), x0)
+        except (ValueError, RuntimeError):
+            plan = plan._fallback_for(k)
 
     extra = {"method": plan.method, "nnz": a.nnz, "m": m, "k": k,
              "dtype": str(np.dtype(a.dtype))}

@@ -802,7 +802,7 @@ def build_layout_m(l: CSR, *, lower: bool = True,
     if (cache and plan_cache.cache_enabled()
             and l.nnz >= plan_cache.MIN_CACHE_NNZ):
         params = {"lower": lower, "unit": unit_diagonal, "th": th,
-                  "nwin": nwin, "v": 1}
+                  "nwin": nwin, "v": 3}
 
         def build():
             lay = _build_layout_m_impl(l, lower=lower,
@@ -871,7 +871,6 @@ def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
     pan = dep // LANES
 
     rounds = []     # (w, b, q, fin, bf, vt(128,), ct(128,))
-    seen_tiles = set()
 
     # group boundaries per (blk, qgrp)
     key = blk * 8 + qg
@@ -906,8 +905,7 @@ def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
                 wsel = min(p for p, _ in pend)
                 vt = np.zeros(LANES, dtype=np.float32)
                 ct = np.zeros(LANES, dtype=np.int64)
-                first = 1 if (b, q) not in seen_tiles else 0
-                seen_tiles.add((b, q))
+                first = 0   # overwritten on the block's first round below
                 for _, j in pend:
                     used = 0
                     while nexts[j] < len(ptr[j]) and used < LPS_M:
@@ -921,12 +919,16 @@ def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
                         nexts[j] += 1
                 b_rounds.append([wsel, b, q, 0, first, vt, ct])
         if not b_rounds:
-            # dependency-free block still needs its solve trigger
-            b_rounds.append([0, b, 0, 0,
-                             1 if (b, 0) not in seen_tiles else 0,
+            # dependency-free block (pure b/diag) still needs its SET +
+            # solve trigger
+            b_rounds.append([0, b, 0, 0, 0,
                              np.zeros(LANES, np.float32),
                              np.zeros(LANES, np.int64)])
-            seen_tiles.add((b, 0))
+        # acc granularity is one (8 RHS, 128) tile per BLOCK (lane =
+        # q*16 + j): the block's first round SETs the whole tile (zeros
+        # outside its own group's lanes), so no up-front acc zeroing is
+        # needed anywhere
+        b_rounds[0][4] = 1
         b_rounds[-1][3] = 1     # final round of the block
         rounds.extend(b_rounds)
 
@@ -969,7 +971,14 @@ def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
 
 
 def _kernel_m(th, n_dense, nwin):
-    """Multi-RHS wavefront body: sublane = RHS, lane = (group-row, dep)."""
+    """Multi-RHS wavefront body: sublane = RHS, lane = (group-row, dep).
+
+    acc and b are per-BLOCK (8 RHS, 128) tiles whose lane layout (q*16 + j)
+    matches the x2d_m row layout — an (N, 16) layout would be silently
+    lane-padded 8x in VMEM (measured: the first cut's 42112x16 acc padded
+    to 20.6 MB and OOMed the scoped-VMEM budget on the band factor).
+    A per-round selector dot places the (8, 16) group partial at lane
+    offset q*16."""
 
     def kern(wrow_ref, oblk_ref, qg_ref, final_ref, bfirst_ref,
              dense_ref, dblk_ref, b_ref, val_ref, col_ref, minv_ref,
@@ -980,11 +989,15 @@ def _kernel_m(th, n_dense, nwin):
         seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, GROUP), 0) // LPS_M
                == jax.lax.broadcasted_iota(jnp.int32, (LANES, GROUP), 1)
                ).astype(jnp.float32)
+        # selector-building iotas for the (16, 128) lane-placement matrix
+        selrow = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
+        selcol = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1)
 
-        @pl.when(t == 0)
-        def _():
-            x_ref[:] = jnp.zeros_like(x_ref)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+        # No whole-buffer zeroing: every block's final solve overwrites all
+        # its x lanes and bfirst=1 SETs the whole block acc tile; pad-lane
+        # garbage (incl. NaN bit patterns) is selected out below. (A t==0
+        # zeroing of multi-MB outputs also materializes equally-sized zero
+        # temporaries on the Mosaic VMEM stack.)
 
         for i in range(th):
             r = t * th + i
@@ -1004,12 +1017,21 @@ def _kernel_m(th, n_dense, nwin):
                 tab = x_ref[pl.ds((w + j) * SUBLANES, SUBLANES), :]
                 gj = jnp.take_along_axis(tab, cj, axis=1)
                 g = gj if g is None else jnp.where(cfull >= j * 128, gj, g)
-            part = jnp.dot(vb * g, seg,
+            # pad lanes (v == 0) may gather garbage (incl. NaN bit patterns
+            # — nothing zeroes x up front): select, don't multiply
+            prod = jnp.where(vb != 0.0, vb * g, 0.0)
+            part = jnp.dot(prod, seg,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)  # (8, 16)
-            slab = (b * SUBLANES + q) * SUBLANES
+            # place the group partial at lanes [q*16, q*16+16):
+            # sel_q[j, q*16 + j] = 1, built from iotas per round (2 vregs)
+            sel_q = (selcol == q * GROUP + selrow).astype(jnp.float32)
+            part_wide = jnp.dot(part, sel_q,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            slab = b * SUBLANES
             acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
-            acc_new = jnp.where(bf == 1, part, acc_cur + part)
+            acc_new = jnp.where(bf == 1, part_wide, acc_cur + part_wide)
             acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
 
             if n_dense:
@@ -1017,38 +1039,50 @@ def _kernel_m(th, n_dense, nwin):
                 db = dblk_ref[r]
 
                 @pl.when((fin == 1) & (dn == 0))
-                def _(b=b):
-                    for q2 in range(SUBLANES):
-                        sl = (b * SUBLANES + q2) * SUBLANES
-                        bv = b_ref[pl.ds(sl, SUBLANES), :]
-                        av = acc_ref[pl.ds(sl, SUBLANES), :]
-                        x_ref[pl.ds(b * SUBLANES, SUBLANES),
-                              q2 * GROUP:(q2 + 1) * GROUP] = bv - av
+                def _(b=b, acc_new=acc_new, slab=slab):
+                    bv = b_ref[pl.ds(slab, SUBLANES), :]
+                    x_ref[pl.ds(slab, SUBLANES), :] = bv - acc_new
 
                 @pl.when((fin == 1) & (dn == 1))
-                def _(b=b, db=db):
-                    for q2 in range(SUBLANES):
-                        sl = (b * SUBLANES + q2) * SUBLANES
-                        bv = b_ref[pl.ds(sl, SUBLANES), :]
-                        av = acc_ref[pl.ds(sl, SUBLANES), :]
-                        x_ref[pl.ds(b * SUBLANES, SUBLANES),
-                              q2 * GROUP:(q2 + 1) * GROUP] = bv - av
-                    xb = x_ref[pl.ds(b * SUBLANES, SUBLANES), :]  # (8,128)
+                def _(b=b, db=db, acc_new=acc_new, slab=slab):
+                    bv = b_ref[pl.ds(slab, SUBLANES), :]
+                    rhs = bv - acc_new                            # (8, 128)
                     mv = minv_ref[pl.ds(db * LANES, LANES), :]
-                    x_ref[pl.ds(b * SUBLANES, SUBLANES), :] = jnp.dot(
-                        xb, mv, preferred_element_type=jnp.float32,
+                    x_ref[pl.ds(slab, SUBLANES), :] = jnp.dot(
+                        rhs, mv, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
             else:
                 @pl.when(fin == 1)
-                def _(b=b):
-                    for q2 in range(SUBLANES):
-                        sl = (b * SUBLANES + q2) * SUBLANES
-                        bv = b_ref[pl.ds(sl, SUBLANES), :]
-                        av = acc_ref[pl.ds(sl, SUBLANES), :]
-                        x_ref[pl.ds(b * SUBLANES, SUBLANES),
-                              q2 * GROUP:(q2 + 1) * GROUP] = bv - av
+                def _(b=b, acc_new=acc_new, slab=slab):
+                    bv = b_ref[pl.ds(slab, SUBLANES), :]
+                    x_ref[pl.ds(slab, SUBLANES), :] = bv - acc_new
 
     return kern
+
+
+def _retile_layout_m(lay: TrsvLayoutM, th2: int) -> TrsvLayoutM:
+    """Re-tile a packed multi-RHS layout to a smaller tile height (pure
+    re-padding with benign dump rounds; the round contents are unchanged)."""
+    total = lay.val.shape[0]
+    T2 = -(-total // th2)
+    new_total = T2 * th2
+    pad = new_total - total
+
+    def pad2(a, fill=0):
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+
+    return dataclasses.replace(
+        lay, th=th2, num_tiles=T2,
+        val=pad2(lay.val), lcol=pad2(lay.lcol),
+        round_wrow=pad2(lay.round_wrow),
+        round_oblk=pad2(lay.round_oblk, lay.num_blocks),
+        round_qgrp=pad2(lay.round_qgrp),
+        round_final=pad2(lay.round_final),
+        round_bfirst=pad2(lay.round_bfirst, 1),
+        round_dense=pad2(lay.round_dense),
+        round_dblk=pad2(lay.round_dblk),
+    )
 
 
 class PallasSptrsvLanes:
@@ -1062,15 +1096,27 @@ class PallasSptrsvLanes:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         lay = build_layout_m(l, lower=lower, unit_diagonal=unit_diagonal,
                              th=th, nwin=nwin)
-        # whole-VMEM budget: x + acc + b + minv + double-buffered tiles
-        vmem_est = (lay.x_rows * 8 * 128 + (lay.num_blocks + 1) * 64 * SUB
-                    + lay.num_blocks * 64 * SUB + lay.minvT.size
-                    + 2 * lay.th * 128 * 2) * 4
-        if vmem_est > 13 * (1 << 20):
+        # Scoped-VMEM budget = whole buffers (x + acc + b + minv +
+        # double-buffered schedule tiles) + the Mosaic stack for the
+        # unrolled round bodies (~5 (8,128) f32 temporaries per
+        # round-window). Shrink the tile height (pure re-pad, no repack)
+        # until the estimate fits.
+        buffers = (lay.x_rows * 8 * 128 + 2 * (lay.num_blocks + 1) * 8 * 128
+                   + lay.minvT.size) * 4
+        chosen = None
+        for th_try in (lay.th, 16, 8):
+            stack = th_try * lay.nwin * 5 * SUBLANES * LANES * 4
+            tiles = 2 * th_try * LANES * 8
+            if buffers + stack + tiles <= 14 * (1 << 20):
+                chosen = th_try
+                break
+        if chosen is None:
             raise ValueError(
-                f"multi-RHS wavefront needs ~{vmem_est >> 20} MB VMEM; "
-                "use the per-RHS chunked path"
+                f"multi-RHS wavefront buffers ({buffers >> 20} MB) leave no "
+                "VMEM stack headroom; use the per-RHS chunked path"
             )
+        if chosen != lay.th:
+            lay = _retile_layout_m(lay, chosen)
         self.layout = lay
         self.shape = l.shape
         self.dtype = l.dtype
@@ -1113,8 +1159,8 @@ class PallasSptrsvLanes:
             out_shape=(
                 jax.ShapeDtypeStruct((lay.x_rows * SUBLANES, LANES),
                                      jnp.float32),
-                jax.ShapeDtypeStruct(((lay.num_blocks + 1) * 64, SUB),
-                                     jnp.float32),
+                jax.ShapeDtypeStruct(((lay.num_blocks + 1) * SUBLANES,
+                                      LANES), jnp.float32),
             ),
             interpret=on_cpu(),
         )
@@ -1134,9 +1180,9 @@ class PallasSptrsvLanes:
         return x2d
 
     def b_to_b3d(self, b: np.ndarray) -> np.ndarray:
-        """Host-side pack of (n, k<=8) RHS into the (RHS-on-sublanes) b3d:
-        b3d[(blk*8+q)*8 + kk, j] = b[row of slot blk*128+q*16+j, kk],
-        head slots pre-scaled by 1/diag (dense slots raw)."""
+        """Host-side pack of (n, k<=8) RHS into the block-tile b3d (same
+        lane layout as x2d_m rows): b3d[blk*8 + kk, l] = b[row of slot
+        blk*128 + l, kk], head slots pre-scaled by 1/diag (dense raw)."""
         lay = self.layout
         n, nb = lay.n, lay.num_blocks
         k = b.shape[1]
@@ -1144,15 +1190,13 @@ class PallasSptrsvLanes:
             raise ValueError(f"k={k} exceeds MAX_RHS={self.MAX_RHS}")
         bp = np.zeros((nb * 128, self.MAX_RHS), dtype=np.float32)
         bp[np.asarray(lay.slot_of_row), :k] = np.asarray(b, np.float32)
-        # inv_diag is (nb*8, SUB): slot p -> (p//16, p%16)
+        # inv_diag is (nb*8, SUB): flattens to per-slot order
         scale = np.asarray(lay.inv_diag).reshape(-1)   # (nb*128,)
         bp *= scale[:, None]
-        p = np.arange(nb * 128)
-        tile_row = (p // 128 * 8 + (p % 128) // GROUP) * 8
-        b3d = np.zeros((nb * 64, SUB), dtype=np.float32)
-        for kk in range(self.MAX_RHS):
-            b3d[tile_row + kk, p % GROUP] = bp[:, kk]
-        return b3d
+        # (nb*128, 8) -> (nb, 128, 8) -> (nb, 8, 128) -> (nb*8, 128)
+        return np.ascontiguousarray(
+            bp.reshape(nb, 128, self.MAX_RHS).transpose(0, 2, 1)
+        ).reshape(nb * SUBLANES, LANES)
 
     def x2d_to_x(self, x2d: np.ndarray, k: int) -> np.ndarray:
         """Host-side unpack: x[row, kk] = x2d[(slot//128)*8 + kk,
