@@ -795,14 +795,14 @@ class TrsvLayoutM:
 
 
 def build_layout_m(l: CSR, *, lower: bool = True,
-                   unit_diagonal: bool = False, th: int = 32,
+                   unit_diagonal: bool = False, th: int = 4,
                    nwin: int = 16, cache: bool = True) -> TrsvLayoutM:
     from ... import plan_cache
 
     if (cache and plan_cache.cache_enabled()
             and l.nnz >= plan_cache.MIN_CACHE_NNZ):
         params = {"lower": lower, "unit": unit_diagonal, "th": th,
-                  "nwin": nwin, "v": 3}
+                  "nwin": nwin, "v": 4}
 
         def build():
             lay = _build_layout_m_impl(l, lower=lower,
@@ -932,23 +932,47 @@ def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
         b_rounds[-1][3] = 1     # final round of the block
         rounds.extend(b_rounds)
 
-    R = len(rounds)
+    # ---- fat-round assembly ----
+    # A fat round carries up to 8 thin (1,128) rows of the SAME block —
+    # each row keeps its own (w, q) scalars (the per-row window gathers
+    # cost the same either way), while the latency-bound per-round chain
+    # (scalar fetch, acc read-modify-write, bfirst select, control) is paid
+    # ONCE per fat round instead of once per 128-slot row. On the 62k band
+    # factor this cuts 15.6k thin rounds to ~2k fat rounds; the thin
+    # variant measured 355 ns/round — almost all of it chain, not gathers.
+    fat = []        # (b, fin, bf, dense_flag, [thin rows])
+    i0 = 0
+    while i0 < len(rounds):
+        b = rounds[i0][1]
+        i1 = i0
+        while i1 < len(rounds) and rounds[i1][1] == b:
+            i1 += 1
+        blk_thin = rounds[i0:i1]
+        nfat = -(-len(blk_thin) // SUBLANES)
+        for f_i in range(nfat):
+            chunk = blk_thin[f_i * SUBLANES:(f_i + 1) * SUBLANES]
+            fat.append([b, 1 if f_i == nfat - 1 else 0,
+                        1 if f_i == 0 else 0, chunk])
+        i0 = i1
+
+    R = len(fat)
     T = max(-(-R // th), 1)
-    val = np.zeros((T * th, LANES), dtype=np.float32)
-    lcol = np.zeros((T * th, LANES), dtype=np.int64)
-    wrow = np.zeros(T * th, dtype=np.int64)
+    val = np.zeros((T * th * SUBLANES, LANES), dtype=np.float32)
+    lcol = np.zeros((T * th * SUBLANES, LANES), dtype=np.int64)
+    wrow = np.zeros(T * th * SUBLANES, dtype=np.int64)
+    qgrp = np.zeros(T * th * SUBLANES, dtype=np.int64)
     oblk = np.full(T * th, num_blocks, dtype=np.int64)   # pad -> dump slab
-    qgrp = np.zeros(T * th, dtype=np.int64)
     final = np.zeros(T * th, dtype=np.int64)
     bfirst = np.ones(T * th, dtype=np.int64)
-    for i, (w, b, q, f, bf, vt, ct) in enumerate(rounds):
-        val[i] = vt
-        lcol[i] = ct
-        wrow[i] = w
+    for i, (b, f, bf, chunk) in enumerate(fat):
         oblk[i] = b
-        qgrp[i] = q
         final[i] = f
         bfirst[i] = bf
+        for g, (w, _b, q, _f, _bf, vt, ct) in enumerate(chunk):
+            val[i * SUBLANES + g] = vt
+            lcol[i * SUBLANES + g] = ct
+            wrow[i * SUBLANES + g] = w
+            qgrp[i * SUBLANES + g] = q
 
     dense = ((oblk >= head_blocks) & (oblk < num_blocks)
              & (final == 1)).astype(np.int64)
@@ -977,21 +1001,25 @@ def _kernel_m(th, n_dense, nwin):
     matches the x2d_m row layout — an (N, 16) layout would be silently
     lane-padded 8x in VMEM (measured: the first cut's 42112x16 acc padded
     to 20.6 MB and OOMed the scoped-VMEM budget on the band factor).
-    A per-round selector dot places the (8, 16) group partial at lane
-    offset q*16."""
+
+    A fat round = up to 8 thin (1,128) schedule rows of ONE block, each
+    with its own (w, q) scalars. The per-row partial goes straight to the
+    full (8,128) acc layout through a single combined segment-reduce +
+    lane-place dot: SS[l, col] = (col == q*16 + l//8) — the per-row sums
+    land at lanes [q*16, q*16+16) in one MXU pass. The fat grouping exists
+    because the thin variant measured 355 ns/round with ~100 ns of gather
+    work: the round chain (scalar fetch, acc RMW, control) dominates, so
+    it is amortized over 8 rows."""
 
     def kern(wrow_ref, oblk_ref, qg_ref, final_ref, bfirst_ref,
              dense_ref, dblk_ref, b_ref, val_ref, col_ref, minv_ref,
              x_ref, acc_ref):
         t = pl.program_id(0)
 
-        # seg[l, q] = 1 where lane l belongs to group-row q = l // 8
-        seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, GROUP), 0) // LPS_M
-               == jax.lax.broadcasted_iota(jnp.int32, (LANES, GROUP), 1)
-               ).astype(jnp.float32)
-        # selector-building iotas for the (16, 128) lane-placement matrix
-        selrow = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
-        selcol = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1)
+        # base[l, col] = col - l//8: SS_q = (base == q*16) per row
+        base = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+                - jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                // LPS_M)
 
         # No whole-buffer zeroing: every block's final solve overwrites all
         # its x lanes and bfirst=1 SETs the whole block acc tile; pad-lane
@@ -1001,37 +1029,39 @@ def _kernel_m(th, n_dense, nwin):
 
         for i in range(th):
             r = t * th + i
-            w = wrow_ref[r]
             b = oblk_ref[r]
-            q = qg_ref[r]
             fin = final_ref[r]
             bf = bfirst_ref[r]
-            v = val_ref[i:i + 1, :].astype(jnp.float32)      # (1, 128)
-            c = col_ref[i:i + 1, :].astype(jnp.int32)        # (1, 128)
-            cfull = jnp.broadcast_to(c, (SUBLANES, LANES))
-            vb = jnp.broadcast_to(v, (SUBLANES, LANES))
-            g = None
-            for j in range(nwin):
-                cj = jnp.broadcast_to(jnp.clip(c - j * 128, 0, 127),
-                                      (SUBLANES, LANES))
-                tab = x_ref[pl.ds((w + j) * SUBLANES, SUBLANES), :]
-                gj = jnp.take_along_axis(tab, cj, axis=1)
-                g = gj if g is None else jnp.where(cfull >= j * 128, gj, g)
-            # pad lanes (v == 0) may gather garbage (incl. NaN bit patterns
-            # — nothing zeroes x up front): select, don't multiply
-            prod = jnp.where(vb != 0.0, vb * g, 0.0)
-            part = jnp.dot(prod, seg,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (8, 16)
-            # place the group partial at lanes [q*16, q*16+16):
-            # sel_q[j, q*16 + j] = 1, built from iotas per round (2 vregs)
-            sel_q = (selcol == q * GROUP + selrow).astype(jnp.float32)
-            part_wide = jnp.dot(part, sel_q,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+            total = None
+            for gi in range(SUBLANES):
+                rg = r * SUBLANES + gi
+                w = wrow_ref[rg]
+                q = qg_ref[rg]
+                row = i * SUBLANES + gi
+                v = val_ref[row:row + 1, :].astype(jnp.float32)   # (1, 128)
+                c = col_ref[row:row + 1, :].astype(jnp.int32)     # (1, 128)
+                cfull = jnp.broadcast_to(c, (SUBLANES, LANES))
+                vb = jnp.broadcast_to(v, (SUBLANES, LANES))
+                g = None
+                for j in range(nwin):
+                    cj = jnp.broadcast_to(jnp.clip(c - j * 128, 0, 127),
+                                          (SUBLANES, LANES))
+                    tab = x_ref[pl.ds((w + j) * SUBLANES, SUBLANES), :]
+                    gj = jnp.take_along_axis(tab, cj, axis=1)
+                    g = gj if g is None else jnp.where(cfull >= j * 128,
+                                                       gj, g)
+                # pad lanes (v == 0) may gather garbage (incl. NaN bit
+                # patterns — nothing zeroes x up front): select, don't
+                # multiply
+                prod = jnp.where(vb != 0.0, vb * g, 0.0)
+                ss = (base == q * GROUP).astype(jnp.float32)
+                part = jnp.dot(prod, ss,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (8,128)
+                total = part if total is None else total + part
             slab = b * SUBLANES
             acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
-            acc_new = jnp.where(bf == 1, part_wide, acc_cur + part_wide)
+            acc_new = jnp.where(bf == 1, total, acc_cur + total)
             acc_ref[pl.ds(slab, SUBLANES), :] = acc_new
 
             if n_dense:
@@ -1062,22 +1092,24 @@ def _kernel_m(th, n_dense, nwin):
 
 def _retile_layout_m(lay: TrsvLayoutM, th2: int) -> TrsvLayoutM:
     """Re-tile a packed multi-RHS layout to a smaller tile height (pure
-    re-padding with benign dump rounds; the round contents are unchanged)."""
-    total = lay.val.shape[0]
+    re-padding with benign dump rounds; the round contents are unchanged).
+    val/lcol/wrow/qgrp carry 8 rows per fat round."""
+    total = lay.round_oblk.shape[0]
     T2 = -(-total // th2)
-    new_total = T2 * th2
-    pad = new_total - total
+    pad = T2 * th2 - total
 
-    def pad2(a, fill=0):
+    def pad2(a, fill=0, mult=1):
+        p = pad * mult
         return np.concatenate(
-            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+            [a, np.full((p,) + a.shape[1:], fill, a.dtype)]) if p else a
 
     return dataclasses.replace(
         lay, th=th2, num_tiles=T2,
-        val=pad2(lay.val), lcol=pad2(lay.lcol),
-        round_wrow=pad2(lay.round_wrow),
+        val=pad2(lay.val, mult=SUBLANES),
+        lcol=pad2(lay.lcol, mult=SUBLANES),
+        round_wrow=pad2(lay.round_wrow, mult=SUBLANES),
+        round_qgrp=pad2(lay.round_qgrp, mult=SUBLANES),
         round_oblk=pad2(lay.round_oblk, lay.num_blocks),
-        round_qgrp=pad2(lay.round_qgrp),
         round_final=pad2(lay.round_final),
         round_bfirst=pad2(lay.round_bfirst, 1),
         round_dense=pad2(lay.round_dense),
@@ -1091,22 +1123,22 @@ class PallasSptrsvLanes:
     MAX_RHS = 8
 
     def __init__(self, l: CSR, *, lower: bool = True,
-                 unit_diagonal: bool = False, th: int = 32, nwin: int = 16):
+                 unit_diagonal: bool = False, th: int = 4, nwin: int = 16):
         if l.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         lay = build_layout_m(l, lower=lower, unit_diagonal=unit_diagonal,
                              th=th, nwin=nwin)
         # Scoped-VMEM budget = whole buffers (x + acc + b + minv +
         # double-buffered schedule tiles) + the Mosaic stack for the
-        # unrolled round bodies (~5 (8,128) f32 temporaries per
-        # round-window). Shrink the tile height (pure re-pad, no repack)
+        # unrolled round bodies (~5 (8,128) f32 temporaries per schedule
+        # row per window). Shrink the tile height (pure re-pad, no repack)
         # until the estimate fits.
         buffers = (lay.x_rows * 8 * 128 + 2 * (lay.num_blocks + 1) * 8 * 128
                    + lay.minvT.size) * 4
         chosen = None
-        for th_try in (lay.th, 16, 8):
-            stack = th_try * lay.nwin * 5 * SUBLANES * LANES * 4
-            tiles = 2 * th_try * LANES * 8
+        for th_try in (lay.th, 2, 1):
+            stack = th_try * SUBLANES * lay.nwin * 5 * SUBLANES * LANES * 4
+            tiles = 2 * th_try * SUBLANES * LANES * 8
             if buffers + stack + tiles <= 14 * (1 << 20):
                 chosen = th_try
                 break
@@ -1144,8 +1176,8 @@ class PallasSptrsvLanes:
             grid=(lay.num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # b3d whole
-                pl.BlockSpec((lay.th, LANES), idx),       # val
-                pl.BlockSpec((lay.th, LANES), idx),       # lcol
+                pl.BlockSpec((lay.th * SUBLANES, LANES), idx),   # val
+                pl.BlockSpec((lay.th * SUBLANES, LANES), idx),   # lcol
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # minvT whole
             ],
             out_specs=(
