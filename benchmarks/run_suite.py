@@ -16,9 +16,13 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-# fp64 records need real f64 — without this flag jax silently downcasts
-# float64 to f32 (caught round 5: f64 SpMV "validated" at 1e-7)
-jax.config.update("jax_enable_x64", True)
+# fp64 records need jax_enable_x64 (without it jax silently downcasts
+# float64 to f32 — caught round 5: f64 SpMV "validated" at 1e-7). But the
+# flag is global and poisons every int index array to int64, which Mosaic
+# rejects — so the f64 stage runs in a SUBPROCESS (--f64-only) with the
+# flag on, and the parent process never sets it.
+if "--f64-only" in sys.argv:
+    jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -34,6 +38,9 @@ def main():
                     help="only the >=100M-nnz single-chip records "
                          "(VERDICT r1 item 4)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--f64-only", action="store_true",
+                    help="run just the fp64 record (x64 flag on; used as a "
+                         "subprocess by the main suite)")
     args = ap.parse_args()
 
     out = Path(args.out or Path(__file__).parent / "results" /
@@ -47,6 +54,13 @@ def main():
         with open(out, "a") as f:
             f.write(json.dumps(d) + "\n")
         print(json.dumps(d), flush=True)
+
+    if args.f64_only:
+        a64 = datasets.emulate("cant", scale=1.0, dtype=np.float64)
+        rec = bench_lib.bench_spmv(a64, method="auto", iters=3)
+        rec.extra["matrix"] = "cant-f64"
+        emit(rec)
+        return
 
     sbw = stream_bandwidth()
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
@@ -79,15 +93,21 @@ def main():
             print(f"# spmv bf16 FAIL: {str(e)[:200]}", flush=True)
 
     # fp64: BASELINE.md requires fp64 runs to report their own BW alongside
-    # correctness (XLA path — Mosaic has no f64; VERDICT r1 item 8)
+    # correctness (XLA path — Mosaic has no f64; VERDICT r1 item 8).
+    # Subprocess: jax_enable_x64 is process-global and would poison the f32
+    # paths' index dtypes (see header comment).
     if not args.quick:
-        try:
-            a64 = datasets.emulate("cant", scale=scale, dtype=np.float64)
-            rec = bench_lib.bench_spmv(a64, method="auto", iters=3)
-            rec.extra["matrix"] = "cant-f64"
-            emit(rec)
-        except Exception as e:
-            print(f"# spmv f64 FAIL: {str(e)[:200]}", flush=True)
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, __file__, "--f64-only", "--out", str(out)],
+            capture_output=True, text=True, timeout=1800)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                records.append(json.loads(line))
+                print(line, flush=True)
+        if r.returncode != 0:
+            print(f"# spmv f64 FAIL: {r.stderr[-300:]}", flush=True)
 
     # Config #2: SpMM K=8/32 over the full FEM set (every README row must
     # have a committed record; VERDICT r1 item 1)

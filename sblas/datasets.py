@@ -227,6 +227,22 @@ def powerlaw_graph(
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
     # Preferential-attachment-ish column choice: columns also Zipf-skewed.
     cols = (rng.zipf(alpha, size=len(rows)) - 1) % n
+    # Zipf(2.1) puts ~64% of draws on column 0: a row of degree d would
+    # draw the top hub ~0.64*d times and CSR dedup would collapse them
+    # (measured: avg_deg=100 requested, 7.3 nnz/row survived). A real graph
+    # links each hub once per row — spread the within-(row, col) repeat
+    # occurrences across distinct columns with a prime stride, keeping one
+    # hot hit per row plus a long pseudo-random tail.
+    key = rows * n + cols
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    idx = np.arange(len(sk), dtype=np.int64)
+    newrun = np.ones(len(sk), dtype=bool)
+    newrun[1:] = sk[1:] != sk[:-1]
+    occ = idx - np.maximum.accumulate(np.where(newrun, idx, 0))
+    spread = np.empty_like(cols)
+    spread[order] = (cols[order] + occ * 9973) % n
+    cols = spread
     perm = rng.permutation(n)  # decorrelate hot columns from low indices
     cols = perm[cols]
     vals = np.ones(len(rows), dtype=dtype)

@@ -143,7 +143,12 @@ class PallasSpmv:
             )
         self.dot = dot
         w = pack_wsell(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
-        if w.y_rows * w.sub * 4 > _VMEM_Y_LIMIT:
+        # Physical bytes: the (y_rows, sub) out tile lane-pads sub -> 128
+        # in VMEM, so it costs y_rows*128*4 regardless of sub (measured:
+        # m=1M, sub=16 -> 32 MB physical vs 4 MB nominal; crashed the
+        # compiler before this guard counted padding). Auto falls through
+        # to PSEG above ~262K rows.
+        if w.y_rows * LANES * 4 > _VMEM_Y_LIMIT:
             raise ValueError("y exceeds VMEM accumulator limit")
         if w.fill < min_fill:
             raise ValueError(
