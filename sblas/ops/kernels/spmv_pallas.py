@@ -31,10 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...formats import CSR
-from ...retile_wsell import pack_wsell, SUBLANES, LANES
+from ...retile_wsell import pack_wsell, pick_sub, SUBLANES, LANES
 
 _VMEM_X_LIMIT = 24 * (1 << 20)   # stage x fully in VMEM up to this size
-_VMEM_Y_LIMIT = 8 * (1 << 20)    # y accumulator cap
+_VMEM_Y_LIMIT = 8 * (1 << 20)    # y accumulator cap (whole-y mode)
+_YBLOCKS = 512                   # row blocks per resident y block (4096
+#                                  y2d rows = 2 MB physical) in blocked mode
 
 
 def check_value_dtype(value_dtype):
@@ -50,13 +52,22 @@ def check_value_dtype(value_dtype):
     return vd
 
 
-def _kernel(th, sub, nwin, wgroup, dot: str = "split3"):
+def _kernel(th, sub, nwin, wgroup, dot: str = "split3",
+            blocked: bool = False):
     lps = LANES // sub
     ns = th // SUBLANES
     ngrp = ns // wgroup
     gh = wgroup * SUBLANES        # rows per window group
 
-    def kern(wrow_ref, obase_ref, x2d_ref, val_ref, col_ref, out_ref):
+    def kern(*refs):
+        if blocked:
+            # blocked-y: two extra prefetch scalars — the tile's y block
+            # (consumed by the out BlockSpec index_map) and a first-tile
+            # flag that zeroes the freshly mapped block
+            (wrow_ref, obase_ref, tyb_ref, tfs_ref,
+             x2d_ref, val_ref, col_ref, out_ref) = refs
+        else:
+            wrow_ref, obase_ref, x2d_ref, val_ref, col_ref, out_ref = refs
         t = pl.program_id(0)
 
         seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 0) // lps
@@ -64,7 +75,7 @@ def _kernel(th, sub, nwin, wgroup, dot: str = "split3"):
                ).astype(jnp.float32)
         segb = seg.astype(jnp.bfloat16)   # 0/1: exact in bf16
 
-        @pl.when(t == 0)
+        @pl.when(tfs_ref[t] == 1 if blocked else t == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -142,14 +153,19 @@ class PallasSpmv:
                 "use the XLA path or the multi-chip partitioner"
             )
         self.dot = dot
-        w = pack_wsell(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
-        # Physical bytes: the (y_rows, sub) out tile lane-pads sub -> 128
+        # Physical bytes: a (y_rows, sub) out buffer lane-pads sub -> 128
         # in VMEM, so it costs y_rows*128*4 regardless of sub (measured:
         # m=1M, sub=16 -> 32 MB physical vs 4 MB nominal; crashed the
-        # compiler before this guard counted padding). Auto falls through
-        # to PSEG above ~262K rows.
-        if w.y_rows * LANES * 4 > _VMEM_Y_LIMIT:
-            raise ValueError("y exceeds VMEM accumulator limit")
+        # remote compiler when the guard counted nominal bytes). Beyond
+        # that (~262K rows at sub=16), switch to the BLOCKED-Y layout:
+        # rounds sorted y-block-major, one 4096-row y block resident at a
+        # time (2 MB physical, double-buffered), out BlockSpec indexed by
+        # a per-tile prefetch scalar.
+        sub_eff = sub if sub > 0 else pick_sub(a)
+        y_rows_est = (-(-max(m, 1) // (SUBLANES * sub_eff))) * SUBLANES
+        yblocks = _YBLOCKS if y_rows_est * LANES * 4 > _VMEM_Y_LIMIT else 0
+        w = pack_wsell(a, th=th, sub=sub_eff, nwin=nwin, wgroup=wgroup,
+                       yblocks=yblocks)
         if w.fill < min_fill:
             raise ValueError(
                 f"w-SELL fill {w.fill:.2f} below {min_fill} (scattered "
@@ -166,6 +182,10 @@ class PallasSpmv:
         self._lcol = jnp.asarray(w.lcol)
         self._wr = jnp.asarray(w.round_wrow)
         self._ob = jnp.asarray(w.round_obase)
+        self.blocked = w.tile_yblk is not None
+        if self.blocked:
+            self._tyb = jnp.asarray(w.tile_yblk)
+            self._tfs = jnp.asarray(w.tile_first)
         self._call = self._build()
 
     def _build(self):
@@ -174,21 +194,42 @@ class PallasSpmv:
         from ...utils.backend import on_cpu
         interpret = on_cpu()
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d, whole array
-                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
-                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
-        )
+        if self.blocked:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d whole
+                    pl.BlockSpec((w.th, LANES),
+                                 lambda t, wr, ob, yb, fs: (t, 0)),
+                    pl.BlockSpec((w.th, LANES),
+                                 lambda t, wr, ob, yb, fs: (t, 0)),
+                ],
+                # one resident y block; consecutive tiles of the same block
+                # revisit the same index (no write-back until it changes)
+                out_specs=pl.BlockSpec(
+                    (w.yb_rows, w.sub),
+                    lambda t, wr, ob, yb, fs: (yb[t], 0)),
+            )
+            out_rows = w.num_yblks * w.yb_rows
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d, whole
+                    pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+                    pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
+            )
+            out_rows = w.y_rows
 
         return pl.pallas_call(
-            _kernel(w.th, w.sub, w.nwin, w.wgroup, self.dot),
+            _kernel(w.th, w.sub, w.nwin, w.wgroup, self.dot,
+                    blocked=self.blocked),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((w.y_rows, w.sub), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((out_rows, w.sub), jnp.float32),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=int(2 * T * w.th * LANES),
@@ -198,15 +239,24 @@ class PallasSpmv:
         )
 
     def device_arrays(self):
-        return {"wr": self._wr, "ob": self._ob,
-                "val": self._val, "lcol": self._lcol}
+        d = {"wr": self._wr, "ob": self._ob,
+             "val": self._val, "lcol": self._lcol}
+        if self.blocked:
+            d["tyb"] = self._tyb
+            d["tfs"] = self._tfs
+        return d
 
     def apply_pure(self, arrs, x):
         m, n = self.shape
         w = self.layout
         pad = w.x2d_rows * 128 - n
         x2d = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(-1, 128)
-        y = self._call(arrs["wr"], arrs["ob"], x2d, arrs["val"], arrs["lcol"])
+        if self.blocked:
+            y = self._call(arrs["wr"], arrs["ob"], arrs["tyb"], arrs["tfs"],
+                           x2d, arrs["val"], arrs["lcol"])
+        else:
+            y = self._call(arrs["wr"], arrs["ob"], x2d, arrs["val"],
+                           arrs["lcol"])
         return y.reshape(-1)[:m].astype(self.dtype)
 
     def apply_traced(self, x):

@@ -103,6 +103,48 @@ def hub_relabel(a: CSR):
     return CSR.from_scipy(s).astype(a.dtype), colperm, rowperm
 
 
+# Rows above this degree split into virtual sub-rows before packing. A PSEG
+# round offers a row 8 slots (hub body) or 1 slot per (s, sel) pair (tail
+# body) on its single lane, so a Zipf mega-row (deg ~n/2) serializes into
+# thousands of near-empty rounds: the fixed powerlaw-1M generator measured
+# the tail at 63M rounds / fill 0.0015 / a 241 GiB schedule allocation.
+# Splitting a deg-d row into ceil(d/8192) sub-rows (entries dealt
+# round-robin so every sub-row samples the full column range) restores
+# ~1 entry per slot; sub-row partials merge in the readout epilogue with
+# one scatter-add over ~total_heavy_nnz/8192 elements (SURVEY.md §7 hard
+# part 4: "split of ultra-heavy rows into multiple segments").
+_SPLIT_DEG = 8192
+
+
+def split_heavy_rows(ap: CSR, cap: int = _SPLIT_DEG):
+    """(ap2, vown): ap with rows of degree > cap dealt into sub-rows.
+
+    Sub-row 0 keeps the original row id; sub-rows j >= 1 of row r become
+    virtual rows appended after m (grouped by r, in row order). ``vown``
+    maps each virtual row back to its owner; None when nothing splits.
+    """
+    m, n = ap.shape
+    deg = ap.row_lengths.astype(np.int64)
+    v = -(-np.maximum(deg, 1) // cap)
+    if not (v > 1).any():
+        return ap, None
+    import scipy.sparse as sp
+
+    rows = ap.row_ids().astype(np.int64)
+    occ = np.arange(ap.nnz, dtype=np.int64) - np.repeat(
+        ap.indptr[:-1].astype(np.int64), deg)
+    sub = occ % v[rows]
+    vbase = np.concatenate([[0], np.cumsum(v - 1)[:-1]])
+    rows2 = np.where(sub == 0, rows, m + vbase[rows] + sub - 1)
+    n_virtual = int((v - 1).sum())
+    m2 = m + n_virtual
+    coo = sp.coo_matrix((ap.data, (rows2, ap.indices.astype(np.int64))),
+                        shape=(m2, n)).tocsr()
+    coo.sort_indices()
+    vown = np.repeat(np.arange(m, dtype=np.int64)[v > 1], (v - 1)[v > 1])
+    return CSR.from_scipy(coo).astype(ap.dtype), vown
+
+
 class PallasSpmvScattered:
     """PSEG Pallas SpMV executor with hub relabeling (single chip)."""
 
@@ -131,6 +173,13 @@ class PallasSpmvScattered:
             colperm = np.arange(n, dtype=np.int64)
             rowperm = np.arange(m, dtype=np.int64)
             ap = a
+        # Zipf mega-rows shatter the round packing (see split_heavy_rows);
+        # deal them into virtual sub-rows merged at readout.
+        ap, vown = split_heavy_rows(ap)
+        self._m2 = ap.shape[0]
+        self.n_virtual = self._m2 - m
+        self._vown = (jnp.asarray(vown.astype(np.int32))
+                      if vown is not None else None)
 
         # hybrid hub+tail packing (round 4): default on accelerators —
         # interpret mode pays per-op for the extra tail rounds, so CPU
@@ -227,6 +276,8 @@ class PallasSpmvScattered:
              "lcol": self._lcol, "tsb": self._tsb,
              "srow": self._srow, "scol": self._scol, "sval": self._sval,
              "colperm": self._colperm, "rowinv": self._rowperm_inv}
+        if self.n_virtual:
+            d["vown"] = self._vown
         if self._tiles_t:
             d.update({"wr_t": self._wr_t, "ob_t": self._ob_t,
                       "val_t": self._val_t, "lcol_t": self._lcol_t,
@@ -247,12 +298,18 @@ class PallasSpmvScattered:
                                      arrs["val_t"], arrs["lcol_t"],
                                      arrs["tsb_t"])
         # y2d[blk*8+ts, tl] = y_perm[blk*1024 + ts*128 + tl] -> natural order
-        y = y2d.reshape(-1)[:m]
+        flat = y2d.reshape(-1)
         if self.layout.n_stragglers:
             # sparse tail diverted at pack time (<0.5% of nnz on power-law):
-            # XLA scatter-add is slow per element but the count is tiny
-            y = y.at[arrs["srow"]].add(arrs["sval"]
-                                       * x_perm[arrs["scol"]])
+            # XLA scatter-add is slow per element but the count is tiny.
+            # Stragglers are in the SPLIT row space (ids may be virtual),
+            # so add them before the sub-row merge.
+            flat = flat.at[arrs["srow"]].add(arrs["sval"]
+                                             * x_perm[arrs["scol"]])
+        y = flat[:m]
+        if self.n_virtual:
+            # merge heavy-row sub-row partials (~heavy_nnz/8192 elements)
+            y = y.at[arrs["vown"]].add(flat[m:self._m2])
         return y.astype(self.dtype)
 
     def apply_pure(self, arrs, x):

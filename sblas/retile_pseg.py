@@ -235,6 +235,15 @@ def _pack_pseg_hybrid_impl(a: CSR, *, th: int):
         gbw = np.cumsum(bw_first) - 1
         r_ent = round_base[gbw] + rank
         Rt = int(nrounds_bw.sum())
+        # Refuse before allocating: a shattered tail once projected 63M
+        # rounds = a 241 GiB schedule (powerlaw-1M, pre heavy-row split).
+        # 4 GiB of f32 tail slots ~= 8 streams of the largest sane packing.
+        if Rt * SUBLANES * LANES * 4 > 4 * (1 << 30):
+            raise ValueError(
+                f"hybrid PSEG tail shattered: {Rt} rounds for {len(tv)} "
+                f"tail nnz (fill {len(tv) / (Rt * 1024):.4f}); split heavy "
+                "rows or use the XLA bucket path"
+            )
         valT = np.zeros((Rt * SUBLANES, LANES), np.float32)
         lcolT = np.zeros((Rt * SUBLANES, LANES), np.int32)
         tsbT = np.zeros((Rt * SUBLANES, LANES), np.int32)

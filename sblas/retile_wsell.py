@@ -57,6 +57,16 @@ class WSell:
     round_obase: np.ndarray  # (T * th/8,) int32 row-block index per round
     x2d_rows: int
     y_rows: int           # output buffer rows: ceil(m/sub) padded to 8
+    # Blocked-y mode (yblocks > 0): y2d is split into num_yblks blocks of
+    # yb_rows rows; rounds are sorted y-block-major, every tile's rounds
+    # stay within ONE y block, and round_obase is LOCAL to the tile's
+    # block. tile_yblk/tile_first drive the out BlockSpec index_map and
+    # the per-block zeroing. yblocks == 0 keeps the whole-y layout
+    # (tile_yblk/tile_first are None).
+    tile_yblk: np.ndarray | None = None   # (T,) y-block of each tile
+    tile_first: np.ndarray | None = None  # (T,) 1 = first tile of its blk
+    num_yblks: int = 1
+    yb_rows: int = 0
 
     @property
     def rows_per_block(self) -> int:
@@ -119,13 +129,29 @@ def pick_sub(a: CSR) -> int:
 
 
 def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
-                     th, sub, nwin, wgroup):
-    """Sort rounds by window, pad window runs to wgroup, pad to whole tiles,
-    and assemble the WSell container. val/lcol are (R*8, 128)."""
+                     th, sub, nwin, wgroup, yblocks: int = 0):
+    """Sort rounds by (y-block, window), pad window runs to wgroup, pad each
+    y-block to whole tiles, and assemble the WSell container. val/lcol are
+    (R*8, 128).
+
+    ``yblocks`` > 0 enables the blocked-y layout: ``yblocks`` row blocks
+    (8 y2d rows each) per y block, so the kernel can keep only one y block
+    resident in VMEM (m beyond ~262K rows otherwise lane-pads y past the
+    VMEM budget). Rounds become y-block-major, obase turns block-local, and
+    each tile's rounds stay inside one y block."""
     R = len(wrow)
-    order = np.lexsort((obase, wrow))
+    nblocks = -(-max(m, 1) // (SUBLANES * sub))
+    B = yblocks if yblocks > 0 else nblocks  # blocks per y block
+    yblk = obase // B
+    order = np.lexsort((obase, wrow, yblk))
+    yb_s = yblk[order]
     wrow_s = wrow[order]
-    uniq, counts = np.unique(wrow_s, return_counts=True)
+    num_yblks = -(-nblocks // B)
+    # window runs are per (y block, window)
+    runkey = yb_s * (int(wrow_s.max(initial=0)) + 2) + wrow_s
+    uniq_idx = np.concatenate([[True], runkey[1:] != runkey[:-1]])
+    starts = np.flatnonzero(uniq_idx)
+    counts = np.diff(np.concatenate([starts, [R]]))
     padded = ((counts + wgroup - 1) // wgroup) * wgroup
     R2 = int(padded.sum())
     if th <= 0:
@@ -136,13 +162,35 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
         ns_t = min(4096 // SUBLANES, max(256 // SUBLANES, ns_t))
         th = (-(-ns_t // wgroup) * wgroup) * SUBLANES
     ns = max(th // SUBLANES, 1)
-    T = -(-R2 // ns)
+
+    # per-run y block and padded rounds per y block
+    run_yb = yb_s[starts]
+    yb_rounds = np.zeros(num_yblks, dtype=np.int64)
+    np.add.at(yb_rounds, run_yb, padded)
+    # each y block pads to whole tiles so a tile never straddles blocks;
+    # even an EMPTY y block gets one all-pad tile — its first tile is what
+    # zeroes the output block in VMEM (an unvisited block would return
+    # garbage for its rows)
+    yb_tiles = np.maximum(-(-yb_rounds // ns), 1)
+    T = int(yb_tiles.sum())
     total = T * ns
-    # destination slot of each sorted round
-    run_starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
-    src_run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    within = np.arange(R) - np.repeat(src_run_starts, counts)
-    dest = np.repeat(run_starts, counts) + within
+    yb_round_total = yb_tiles * ns
+    yb_base = np.concatenate([[0], np.cumsum(yb_round_total)[:-1]])
+
+    # destination slot of each sorted round: y-block base + padded-run base
+    # within the block + position within the run (runs are (yb, wrow)-sorted
+    # so the padded cumsum resets cleanly at each y-block boundary)
+    cp = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    yb_run_first = np.concatenate(
+        [[True], run_yb[1:] != run_yb[:-1]]) if len(run_yb) else np.zeros(
+        0, bool)
+    run_base_in_yb = cp - np.repeat(cp[np.flatnonzero(yb_run_first)],
+                                    np.diff(np.concatenate(
+                                        [np.flatnonzero(yb_run_first),
+                                         [len(run_yb)]])))
+    run_start_global = yb_base[run_yb] + run_base_in_yb
+    within = np.arange(R) - np.repeat(starts, counts)
+    dest = np.repeat(run_start_global, counts) + within
 
     val2 = np.zeros((total * SUBLANES, LANES), dtype=dtype)
     # lcol in [0, 256) -> int16 halves index stream bytes (DESIGN.md)
@@ -150,12 +198,26 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
     wrow2 = np.zeros(total, dtype=np.int64)
     obase2 = np.zeros(total, dtype=np.int64)
     # window of pad slots within a run must match the run's window
-    wrow2[: R2] = np.repeat(uniq, padded)
+    run_wrow = wrow_s[starts]
+    pad_dest = np.repeat(run_start_global, padded) + np.concatenate(
+        [np.arange(p) for p in padded]) if len(padded) else np.zeros(0, np.int64)
+    wrow2[pad_dest] = np.repeat(run_wrow, padded)
     src_rows = (order[:, None] * SUBLANES + np.arange(SUBLANES)).reshape(-1)
     dst_rows = (dest[:, None] * SUBLANES + np.arange(SUBLANES)).reshape(-1)
     val2[dst_rows] = val[src_rows]
     lcol2[dst_rows] = lcol[src_rows]
-    obase2[dest] = obase[order]
+    obase2[dest] = obase[order] - (yblk[order] * B if yblocks > 0 else 0)
+
+    tile_yblk = None
+    tile_first = None
+    yb_rows = 0
+    if yblocks > 0:
+        tile_yblk = np.repeat(np.arange(num_yblks, dtype=np.int64), yb_tiles)
+        tile_first = np.zeros(T, dtype=np.int64)
+        tile_first[np.concatenate([[0], np.cumsum(yb_tiles)[:-1]])] = 1
+        tile_yblk = tile_yblk.astype(INDEX_DTYPE)
+        tile_first = tile_first.astype(INDEX_DTYPE)
+        yb_rows = B * SUBLANES
     return WSell(
         m=m, n=n, nnz=nnz, th=ns * SUBLANES, sub=sub, nwin=nwin,
         wgroup=wgroup, num_tiles=T, num_rounds=R2,
@@ -164,11 +226,14 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
         round_obase=obase2.astype(INDEX_DTYPE),
         x2d_rows=-(-n // 128) + 1,
         y_rows=((-(-max(m, 1) // (SUBLANES * sub))) * SUBLANES),
+        tile_yblk=tile_yblk, tile_first=tile_first,
+        num_yblks=(int(num_yblks) if yblocks > 0 else 1), yb_rows=yb_rows,
     )
 
 
 def pack_wsell(a: CSR, *, th: int = 0, sub: int = 0, nwin: int = 2,
-               wgroup: int = 8, cache: bool = True) -> WSell:
+               wgroup: int = 8, yblocks: int = 0,
+               cache: bool = True) -> WSell:
     """Pack a CSR matrix into w-SELL v3 tiles.
 
     ``th`` <= 0 picks the tile height adaptively (~16 grid steps, clamped
@@ -179,6 +244,10 @@ def pack_wsell(a: CSR, *, th: int = 0, sub: int = 0, nwin: int = 2,
     halving round count on FEM bands whose rows sit at staggered panel
     offsets, at the cost of a second gather + select in the kernel.
 
+    ``yblocks`` > 0: blocked-y layout (see _finalize_rounds) for matrices
+    whose full y would not fit VMEM; the value is row blocks (8*sub rows)
+    per resident y block.
+
     Large matrices' packings persist across runs via plan_cache (keyed by
     matrix digest + params); pass ``cache=False`` to force a repack.
     """
@@ -187,20 +256,27 @@ def pack_wsell(a: CSR, *, th: int = 0, sub: int = 0, nwin: int = 2,
     if (cache and plan_cache.cache_enabled()
             and a.nnz >= plan_cache.MIN_CACHE_NNZ):
         params = {"th": th, "sub": sub, "nwin": nwin, "wgroup": wgroup,
-                  "v": 3}
+                  "yblk": yblocks, "v": 4}
 
         def build():
-            w = _pack_wsell_impl(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
+            w = _pack_wsell_impl(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup,
+                                 yblocks=yblocks)
             return {
                 "val": w.val, "lcol": w.lcol, "wrow": w.round_wrow,
                 "obase": w.round_obase,
+                "tyb": (w.tile_yblk if w.tile_yblk is not None
+                        else np.zeros(0, INDEX_DTYPE)),
+                "tfs": (w.tile_first if w.tile_first is not None
+                        else np.zeros(0, INDEX_DTYPE)),
                 "meta": np.array([w.m, w.n, w.nnz, w.th, w.sub, w.nwin,
                                   w.wgroup, w.num_tiles, w.num_rounds,
-                                  w.x2d_rows, w.y_rows], dtype=np.int64),
+                                  w.x2d_rows, w.y_rows, w.num_yblks,
+                                  w.yb_rows], dtype=np.int64),
             }
 
         d = plan_cache.cached_arrays(a, "wsell", params, build)
         mt = d["meta"]
+        blocked = len(d["tyb"]) > 0
         return WSell(
             m=int(mt[0]), n=int(mt[1]), nnz=int(mt[2]), th=int(mt[3]),
             sub=int(mt[4]), nwin=int(mt[5]), wgroup=int(mt[6]),
@@ -208,12 +284,16 @@ def pack_wsell(a: CSR, *, th: int = 0, sub: int = 0, nwin: int = 2,
             val=d["val"], lcol=d["lcol"], round_wrow=d["wrow"],
             round_obase=d["obase"],
             x2d_rows=int(mt[9]), y_rows=int(mt[10]),
+            tile_yblk=d["tyb"] if blocked else None,
+            tile_first=d["tfs"] if blocked else None,
+            num_yblks=int(mt[11]), yb_rows=int(mt[12]),
         )
-    return _pack_wsell_impl(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
+    return _pack_wsell_impl(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup,
+                            yblocks=yblocks)
 
 
 def _pack_wsell_impl(a: CSR, *, th: int, sub: int, nwin: int,
-                     wgroup: int) -> WSell:
+                     wgroup: int, yblocks: int = 0) -> WSell:
     m, n = a.shape
     if sub <= 0:
         sub = pick_sub(a)
@@ -233,7 +313,7 @@ def _pack_wsell_impl(a: CSR, *, th: int, sub: int, nwin: int,
             return _finalize_rounds(
                 val, lcol, wrow.astype(np.int64), obase.astype(np.int64),
                 m=m, n=n, nnz=a.nnz, dtype=a.data.dtype,
-                th=th, sub=sub, nwin=nwin, wgroup=wgroup,
+                th=th, sub=sub, nwin=nwin, wgroup=wgroup, yblocks=yblocks,
             )
     lps = LANES // sub
     rpb = SUBLANES * sub          # rows per block
@@ -299,16 +379,22 @@ def _pack_wsell_impl(a: CSR, *, th: int, sub: int, nwin: int,
     obase = np.asarray([r[1] for r in rounds], dtype=np.int64)
     return _finalize_rounds(val, lcol, wrow, obase, m=m, n=n, nnz=a.nnz,
                             dtype=data.dtype, th=th, sub=sub, nwin=nwin,
-                            wgroup=wgroup)
+                            wgroup=wgroup, yblocks=yblocks)
 
 
 def wsell_to_dense(w: WSell) -> np.ndarray:
     """Reconstruct the dense matrix from a w-SELL packing (test helper)."""
     out = np.zeros((w.m, w.n), dtype=np.float64)
     lps = LANES // w.sub
-    for i in range(w.num_rounds):
+    rpt = w.rounds_per_tile
+    # iterate ALL physical round slots: in blocked-y mode real rounds sit
+    # at per-y-block bases beyond num_rounds; pad slots have zero vals
+    for i in range(len(w.round_wrow)):
         wbase = int(w.round_wrow[i]) * LANES
         blk = int(w.round_obase[i])
+        if w.tile_yblk is not None:
+            # blocked-y: obase is local to the round's tile's y block
+            blk += int(w.tile_yblk[i // rpt]) * (w.yb_rows // SUBLANES)
         for s in range(SUBLANES):
             arow = i * SUBLANES + s
             for j in range(LANES):
