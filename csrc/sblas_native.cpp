@@ -414,31 +414,40 @@ extern "C" int64_t sblas_pack_pseg_f32(
 
       if (total < (int64_t)divert_below) {
         for (int32_t l = 0; l < LANES_; ++l) {
-          for (int32_t t = 0; t < cnt[l]; ++t)
-            strag_idx[nstrag++] = heads[l] + t;
+          for (int32_t t = 0; t < cnt[l]; ++t) {
+            if (val_out != nullptr) strag_idx[nstrag] = heads[l] + t;
+            ++nstrag;
+          }
           heads[l] += cnt[l];
         }
         continue;
       }
 
-      if (nrounds >= max_rounds) return -1;
-      float* vt = val_out + nrounds * SUB_ * LANES_;
-      int32_t* ct = lcol_out + nrounds * SUB_ * LANES_;
-      int32_t* tt = tsb_out + nrounds * SUB_ * LANES_;
-      memset(vt, 0, sizeof(float) * SUB_ * LANES_);
-      memset(ct, 0, sizeof(int32_t) * SUB_ * LANES_);
-      memset(tt, 0, sizeof(int32_t) * SUB_ * LANES_);
-      for (int32_t l = 0; l < LANES_; ++l) {
-        const int64_t h = heads[l];
-        for (int32_t t = 0; t < cnt[l]; ++t) {
-          vt[(int64_t)t * LANES_ + l] = val_s[h + t];
-          ct[(int64_t)t * LANES_ + l] = col_s[h + t] - w * LANES_;
-          tt[(int64_t)t * LANES_ + l] = ts_s[h + t];
+      // COUNT-ONLY mode (val_out == nullptr): callers size the output
+      // arrays from a first counting pass instead of the nnz worst case
+      // (a divert=1 hub stream once projected a 157 GiB preallocation).
+      if (val_out != nullptr) {
+        if (nrounds >= max_rounds) return -1;
+        float* vt = val_out + nrounds * SUB_ * LANES_;
+        int32_t* ct = lcol_out + nrounds * SUB_ * LANES_;
+        int32_t* tt = tsb_out + nrounds * SUB_ * LANES_;
+        memset(vt, 0, sizeof(float) * SUB_ * LANES_);
+        memset(ct, 0, sizeof(int32_t) * SUB_ * LANES_);
+        memset(tt, 0, sizeof(int32_t) * SUB_ * LANES_);
+        for (int32_t l = 0; l < LANES_; ++l) {
+          const int64_t h = heads[l];
+          for (int32_t t = 0; t < cnt[l]; ++t) {
+            vt[(int64_t)t * LANES_ + l] = val_s[h + t];
+            ct[(int64_t)t * LANES_ + l] = col_s[h + t] - w * LANES_;
+            tt[(int64_t)t * LANES_ + l] = ts_s[h + t];
+          }
+          heads[l] += cnt[l];
         }
-        heads[l] += cnt[l];
+        wrow_out[nrounds] = w;
+        oblk_out[nrounds] = b;
+      } else {
+        for (int32_t l = 0; l < LANES_; ++l) heads[l] += cnt[l];
       }
-      wrow_out[nrounds] = w;
-      oblk_out[nrounds] = b;
       ++nrounds;
     }
     lo = hi;

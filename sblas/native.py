@@ -233,18 +233,28 @@ def pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s, divert_below):
     pan_s = np.ascontiguousarray(pan_s, dtype=np.int32)
     col_s = np.ascontiguousarray(col_s, dtype=np.int32)
     val_s = np.ascontiguousarray(val_s, dtype=np.float32)
-    num_blocks = int(blk_s[-1]) + 1 if nnz else 1
-    # every emitted round carries >= max(divert_below, 1) entries
-    max_rounds = nnz // max(divert_below, 1) + num_blocks + 2
     f32p = _ct.POINTER(_ct.c_float)
     i64p = _ct.POINTER(_ct.c_int64)
+    n_strag = np.zeros(1, dtype=np.int64)
+    # pass 1 — COUNT ONLY (null outputs): the worst case is one round per
+    # nnz (divert=1), which once projected a 157 GiB preallocation on a
+    # 85M-nnz hub stream; the counting pass is the same O(nnz) sweep
+    nullf = _ct.cast(None, f32p)
+    nulli = _ct.cast(None, _ct.POINTER(_ct.c_int32))
+    nulll = _ct.cast(None, i64p)
+    max_rounds = lib.sblas_pack_pseg_f32(
+        _as_i32p(blk_s), _as_i32p(tl_s), _as_i32p(ts_s), _as_i32p(pan_s),
+        _as_i32p(col_s), val_s.ctypes.data_as(f32p),
+        nnz, int(divert_below), 0,
+        nullf, nulli, nulli, nulli, nulli,
+        nulll, n_strag.ctypes.data_as(i64p),
+    )
     val = np.empty((max_rounds * 8, 128), dtype=np.float32)
     lcol = np.empty((max_rounds * 8, 128), dtype=np.int32)
     tsb = np.empty((max_rounds * 8, 128), dtype=np.int32)
     wrow = np.empty(max_rounds, dtype=np.int32)
     oblk = np.empty(max_rounds, dtype=np.int32)
-    strag = np.empty(max(nnz, 1), dtype=np.int64)
-    n_strag = np.zeros(1, dtype=np.int64)
+    strag = np.empty(max(int(n_strag[0]), 1), dtype=np.int64)
     R = lib.sblas_pack_pseg_f32(
         _as_i32p(blk_s), _as_i32p(tl_s), _as_i32p(ts_s), _as_i32p(pan_s),
         _as_i32p(col_s), val_s.ctypes.data_as(f32p),
@@ -253,8 +263,8 @@ def pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s, divert_below):
         _as_i32p(wrow), _as_i32p(oblk),
         strag.ctypes.data_as(i64p), n_strag.ctypes.data_as(i64p),
     )
-    if R < 0:
-        raise RuntimeError("PSEG packer under-allocated (bug)")
+    if R < 0 or R != max_rounds:
+        raise RuntimeError("PSEG packer count/fill mismatch (bug)")
     ns = int(n_strag[0])
     return (int(R), val[: R * 8], lcol[: R * 8], tsb[: R * 8],
             wrow[:R], oblk[:R], strag[:ns])

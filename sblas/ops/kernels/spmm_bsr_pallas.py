@@ -41,6 +41,58 @@ _VMEM_Y_LIMIT = 16 * (1 << 20)
 _VMEM_T_LIMIT = int(14.5 * (1 << 20))
 
 
+def _kernel_t_streamed(tb, k, precision):
+    """Streamed-Xt variant of _kernel_t: Xt does NOT fit VMEM whole, so the
+    grid streams one ~2 MB column slice at a time — the slice index is a
+    per-TILE prefetch scalar consumed by the Xt BlockSpec index_map, and
+    blocks are sorted (slice, brow) so consecutive tiles reuse the resident
+    slice (pallas re-DMAs only when csl[t] changes). bcol is slice-local.
+    Per-range traffic = blocks + one full Xt pass; R ranges cost R*Xt extra
+    (counted in bytes_per_iter). This is the single-chip analogue of the
+    2D-mesh plan's column blocking (parallel/spmv2d)."""
+    bf16x3 = precision == "bf16x3"
+    de = jax.lax.Precision.DEFAULT
+
+    def kern(csl_ref, brow_ref, bcol_ref, xt_ref, at_ref, out_ref):
+        del csl_ref  # consumed by the Xt BlockSpec index_map
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for b in range(tb):
+            i = t * tb + b
+            bc = bcol_ref[i]
+            brw = brow_ref[i]
+            ab = at_ref[b * 128:(b + 1) * 128, :]
+            if bf16x3:
+                af = ab.astype(jnp.float32)
+                ah = af.astype(jnp.bfloat16)
+                al = (af - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            for s in range(k // 8):
+                xa = xt_ref[s * 8:(s + 1) * 8, pl.ds(bc * 128, 128)]
+                if bf16x3:
+                    xh = xa.astype(jnp.bfloat16)
+                    xl = (xa - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    p = (jnp.dot(xh, ah, preferred_element_type=jnp.float32,
+                                 precision=de)
+                         + jnp.dot(xh, al,
+                                   preferred_element_type=jnp.float32,
+                                   precision=de)
+                         + jnp.dot(xl, ah,
+                                   preferred_element_type=jnp.float32,
+                                   precision=de))
+                else:
+                    p = jnp.dot(xa, ab.astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+                cur = out_ref[s * 8:(s + 1) * 8, pl.ds(brw * 128, 128)]
+                out_ref[s * 8:(s + 1) * 8, pl.ds(brw * 128, 128)] = cur + p
+
+    return kern
+
+
 def _kernel_t(tb, k, precision):
     """Transposed-operand kernel: K on sublanes, columns on lanes.
 
@@ -108,8 +160,11 @@ class PallasSpmmBsrT:
     that Xt + Yt/R stays under the measured compile ceiling. R = 1 for
     K=8/16 everywhere; K=32 on mid-size matrices pays (R-1) extra Xt reads
     (counted in bytes_per_iter) instead of falling off the roofline. When
-    Xt ALONE exceeds the ceiling, construction/``_get_calls`` raise and
-    callers fall back to ``PallasSpmmBsr`` (rows, K)."""
+    Xt ALONE exceeds the ceiling (pwtk K=32: 26 MB), the STREAMED mode
+    kicks in: ~2 MB Xt column slices DMA'd on demand via a per-tile
+    prefetch-scalar index_map, blocks sorted (slice, brow) within each
+    range so consecutive tiles reuse the resident slice; each range then
+    pays one full Xt pass (R*Xt total, in bytes_per_iter)."""
 
     def __init__(self, a: CSR, *, tb: int = 16, min_density: float = 0.04,
                  value_dtype=None, precision=None, k_hint: int = 8):
@@ -139,30 +194,75 @@ class PallasSpmmBsrT:
         self.precision = precision
 
         kp = self._kpad(k_hint)
-        self.R, self._range_brows = self._plan_ranges(kp)
+        # resident mode: Xt whole in VMEM; when Xt ALONE busts the compile
+        # ceiling (pwtk K=32: 26 MB), fall to the STREAMED mode — ~2 MB
+        # column slices of Xt DMA'd on demand via a per-tile prefetch
+        # scalar, blocks sorted (slice, brow) per range
+        self._slice_pcols = 0
+        try:
+            self.R, self._range_brows = self._plan_ranges(kp)
+        except ValueError:
+            self.R, self._range_brows, self._slice_pcols = (
+                self._plan_streamed(kp))
         self._kp_built = kp
 
         # per-range streams: blocks are brow-sorted, so each range is a
         # contiguous slice, padded to a tb multiple; brow indices are local
         # to the range (out block-row 0 = range start)
-        ats, brows, bcols, tiles = [], [], [], []
-        nb = bsr.nblocks
+        ats, brows, bcols, tiles, csls = [], [], [], [], []
         lo = 0
         base = 0
         total_blocks = 0
         for rb in self._range_brows:
             hi = int(np.searchsorted(bsr.brow, base + rb))
             cnt = hi - lo
-            T = max(-(-cnt // tb), 1)
-            tot = T * tb
-            at = np.zeros((tot * 128, 128), np.float32)
-            at[: cnt * 128] = bsr.blocks[lo:hi].transpose(0, 2, 1).reshape(
-                cnt * 128, 128)
-            brow = np.zeros(tot, np.int32)
-            bcol = np.zeros(tot, np.int32)
-            brow[:cnt] = bsr.brow[lo:hi] - base
-            bcol[:cnt] = bsr.bcol[lo:hi]
-            brow[cnt:] = rb - 1
+            if self._slice_pcols:
+                sp = self._slice_pcols
+                cs = bsr.bcol[lo:hi] // sp
+                order = np.lexsort((bsr.brow[lo:hi], cs)).astype(np.int64)
+                cso = cs[order]
+                gfirst = np.concatenate([[True], cso[1:] != cso[:-1]]) \
+                    if cnt else np.zeros(0, bool)
+                gstarts = np.flatnonzero(gfirst)
+                gcounts = np.diff(np.concatenate([gstarts, [cnt]])) \
+                    if cnt else np.zeros(0, np.int64)
+                gpad = -(-gcounts // tb) * tb
+                tot = int(max(gpad.sum(), tb))
+                gbase = np.concatenate([[0], np.cumsum(gpad)[:-1]]) \
+                    if len(gpad) else np.zeros(0, np.int64)
+                dest = (np.repeat(gbase, gcounts)
+                        + (np.arange(cnt) - np.repeat(gstarts, gcounts)))
+                at = np.zeros((tot * 128, 128), np.float32)
+                src = order + lo
+                arows = (dest[:, None] * 128 + np.arange(128)).reshape(-1)
+                at[arows] = bsr.blocks[src].transpose(0, 2, 1).reshape(
+                    cnt * 128, 128)
+                brow = np.full(tot, rb - 1, np.int32)
+                bcol = np.zeros(tot, np.int32)
+                brow[dest] = bsr.brow[src] - base
+                bcol[dest] = bsr.bcol[src] - cs[order] * sp
+                # per-slot slice id (pad slots inherit their group's)
+                if len(gpad):
+                    csl_all = np.repeat(cso[gstarts], gpad)
+                    if len(csl_all) < tot:
+                        csl_all = np.concatenate(
+                            [csl_all,
+                             np.zeros(tot - len(csl_all), np.int64)])
+                else:
+                    csl_all = np.zeros(tot, np.int64)
+                T = tot // tb
+                csls.append(jnp.asarray(csl_all[::tb].astype(np.int32)))
+            else:
+                T = max(-(-cnt // tb), 1)
+                tot = T * tb
+                at = np.zeros((tot * 128, 128), np.float32)
+                at[: cnt * 128] = bsr.blocks[lo:hi].transpose(0, 2, 1).reshape(
+                    cnt * 128, 128)
+                brow = np.zeros(tot, np.int32)
+                bcol = np.zeros(tot, np.int32)
+                brow[:cnt] = bsr.brow[lo:hi] - base
+                bcol[:cnt] = bsr.bcol[lo:hi]
+                brow[cnt:] = rb - 1
             ats.append(jnp.asarray(at).astype(value_dtype))
             brows.append(jnp.asarray(brow))
             bcols.append(jnp.asarray(bcol))
@@ -174,13 +274,38 @@ class PallasSpmmBsrT:
         self._brows = tuple(brows)
         self._bcols = tuple(bcols)
         self._tiles = tuple(tiles)
+        self._csls = tuple(csls)
         xt_bytes = self._kp_built * bsr.num_bcols * 128 * 4
         self.bytes_per_iter = (
             total_blocks * 128 * 128 * value_dtype.itemsize
             + total_blocks * 8
-            + (self.R - 1) * xt_bytes   # Xt re-staged once per extra range
+            + ((self.R * xt_bytes) if self._slice_pcols
+               else (self.R - 1) * xt_bytes)  # Xt (re-)staged per range
         )
         self._calls = {}
+
+    def _plan_streamed(self, kp: int):
+        """(R, range_brows, slice_pcols) for the streamed-Xt mode."""
+        bsr = self.bsr
+        # ~2 MB slices (or an eighth of the ceiling, whichever is smaller,
+        # so slices never crowd out Yt)
+        sb = min(2 << 20, _VMEM_T_LIMIT // 8)
+        slice_pcols = max(1, sb // (kp * 128 * 4))
+        slice_pcols = min(slice_pcols, bsr.num_bcols)
+        sbytes = kp * slice_pcols * 128 * 4
+        budget = _VMEM_T_LIMIT - 2 * sbytes   # slice is double-buffered
+        per_brow = kp * 128 * 4
+        if budget < 8 * per_brow:
+            raise ValueError(
+                f"k={kp} per-brow Yt ({per_brow} B) too big even with "
+                "streamed Xt; use the (rows, K) BSR path"
+            )
+        rows = min(int(budget // per_brow), bsr.num_brows)
+        R = -(-bsr.num_brows // rows)
+        base = bsr.num_brows // R
+        rem = bsr.num_brows - base * R
+        return (R, tuple(base + (1 if i < rem else 0) for i in range(R)),
+                slice_pcols)
 
     def _kpad(self, k: int) -> int:
         return -(-k // 8) * 8
@@ -207,7 +332,13 @@ class PallasSpmmBsrT:
         kp = self._kpad(k)
         if kp in self._calls:
             return self._calls[kp]
-        if self._plan_ranges(kp)[0] != self.R:
+        if self._slice_pcols:
+            if self._plan_streamed(kp)[2] != self._slice_pcols:
+                raise ValueError(
+                    f"k={k} needs a different Xt slicing (built for "
+                    f"k_hint={self._kp_built}); rebuild with k_hint={k}"
+                )
+        elif self._plan_ranges(kp)[0] != self.R:
             raise ValueError(
                 f"k={k} needs a different block-row split (built for "
                 f"k_hint={self._kp_built}); rebuild the plan with k_hint={k}"
@@ -216,48 +347,94 @@ class PallasSpmmBsrT:
         interpret = on_cpu()
         calls = []
         for T, rb in zip(self._tiles, self._range_brows):
-            calls.append(pl.pallas_call(
-                _kernel_t(self.tb, kp, self.precision),
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=2,
-                    grid=(T,),
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
-                        pl.BlockSpec((self.tb * 128, 128),
-                                     lambda t, br_, bc_: (t, 0)),
-                    ],
-                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                ),
-                out_shape=jax.ShapeDtypeStruct((kp, rb * 128), jnp.float32),
-                interpret=interpret,
-                cost_estimate=pl.CostEstimate(
-                    flops=int(2 * T * self.tb * 128 * 128 * kp),
-                    bytes_accessed=int(
-                        T * self.tb * 128 * 128
-                        * self.value_dtype.itemsize
-                        + kp * (self.bsr.num_bcols + rb) * 128 * 4),
-                    transcendentals=0,
-                ),
-            ))
+            if self._slice_pcols:
+                sp_ = self._slice_pcols
+                calls.append(pl.pallas_call(
+                    _kernel_t_streamed(self.tb, kp, self.precision),
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=3,
+                        grid=(T,),
+                        in_specs=[
+                            # Xt slice picked by the tile's prefetch scalar
+                            pl.BlockSpec(
+                                (kp, sp_ * 128),
+                                lambda t, cs_, br_, bc_: (0, cs_[t])),
+                            pl.BlockSpec((self.tb * 128, 128),
+                                         lambda t, cs_, br_, bc_: (t, 0)),
+                        ],
+                        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((kp, rb * 128),
+                                                   jnp.float32),
+                    interpret=interpret,
+                    cost_estimate=pl.CostEstimate(
+                        flops=int(2 * T * self.tb * 128 * 128 * kp),
+                        bytes_accessed=int(
+                            T * self.tb * 128 * 128
+                            * self.value_dtype.itemsize
+                            + kp * (self.bsr.num_bcols + rb) * 128 * 4),
+                        transcendentals=0,
+                    ),
+                ))
+            else:
+                calls.append(pl.pallas_call(
+                    _kernel_t(self.tb, kp, self.precision),
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=2,
+                        grid=(T,),
+                        in_specs=[
+                            pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt
+                            pl.BlockSpec((self.tb * 128, 128),
+                                         lambda t, br_, bc_: (t, 0)),
+                        ],
+                        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((kp, rb * 128),
+                                                   jnp.float32),
+                    interpret=interpret,
+                    cost_estimate=pl.CostEstimate(
+                        flops=int(2 * T * self.tb * 128 * 128 * kp),
+                        bytes_accessed=int(
+                            T * self.tb * 128 * 128
+                            * self.value_dtype.itemsize
+                            + kp * (self.bsr.num_bcols + rb) * 128 * 4),
+                        transcendentals=0,
+                    ),
+                ))
         self._calls[kp] = calls
         return calls
 
     def device_arrays(self):
-        return {"brow": self._brows, "bcol": self._bcols, "at": self._ats}
+        d = {"brow": self._brows, "bcol": self._bcols, "at": self._ats}
+        if self._slice_pcols:
+            d["csl"] = self._csls
+        return d
 
     def apply_pure(self, arrs, x):
         m, n = self.shape
         k = x.shape[1]
         kp = self._kpad(k)
         calls = self._get_calls(k)
-        pad = self.bsr.num_bcols * 128 - n
+        if self._slice_pcols:
+            nslices = -(-self.bsr.num_bcols // self._slice_pcols)
+            pad = nslices * self._slice_pcols * 128 - n
+        else:
+            pad = self.bsr.num_bcols * 128 - n
         xt = jnp.pad(x.astype(jnp.float32),
                      ((0, pad), (0, kp - k))).T        # (kp, cols)
-        parts = [
-            call(brow, bcol, xt, at)
-            for call, brow, bcol, at in zip(
-                calls, arrs["brow"], arrs["bcol"], arrs["at"])
-        ]
+        if self._slice_pcols:
+            parts = [
+                call(csl, brow, bcol, xt, at)
+                for call, csl, brow, bcol, at in zip(
+                    calls, arrs["csl"], arrs["brow"], arrs["bcol"],
+                    arrs["at"])
+            ]
+        else:
+            parts = [
+                call(brow, bcol, xt, at)
+                for call, brow, bcol, at in zip(
+                    calls, arrs["brow"], arrs["bcol"], arrs["at"])
+            ]
         yt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         return yt[:k, :m].T.astype(self.dtype)
 

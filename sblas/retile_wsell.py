@@ -128,6 +128,38 @@ def pick_sub(a: CSR) -> int:
     return best_sub
 
 
+def estimate_rounds(a: CSR, sub: int) -> int:
+    """Round-count estimate for a given ``sub`` (same block-max formula as
+    pick_sub) — cheap numpy probe used to refuse shattered packings BEFORE
+    the round builder allocates them."""
+    m = a.shape[0]
+    lps = LANES // sub
+    rows = a.row_ids().astype(np.int64)
+    panels = a.indices.astype(np.int64) // LANES
+    npan = int(panels.max(initial=0)) + 1
+    key = rows * npan + panels
+    uniq, counts = np.unique(key, return_counts=True)
+    chunks = -(-counts // lps)
+    per_row = np.zeros(m, dtype=np.int64)
+    np.add.at(per_row, (uniq // npan).astype(np.int64), chunks)
+    rpb = SUBLANES * sub
+    pad = (-m) % rpb
+    pr = np.concatenate([per_row, np.zeros(pad, np.int64)]) if pad else per_row
+    return int(pr.reshape(-1, rpb).max(axis=1).sum())
+
+
+def check_shattered(rounds: int, nnz: int, what: str = "w-SELL"):
+    """Raise when a projected packing is both huge (> 1 GiB of slots) and
+    pathologically empty (< 5% fill): powerlaw-1M measured 63M rounds =
+    a 241 GiB schedule allocation. Legit packs keep fill >= ~0.2."""
+    if (rounds * SUBLANES * LANES * 4 > 1 << 30
+            and nnz < 0.05 * rounds * SUBLANES * LANES):
+        raise ValueError(
+            f"{what} shattered: {rounds} rounds for {nnz} nnz "
+            f"(fill {nnz / max(rounds * 1024, 1):.4f}); scattered columns"
+        )
+
+
 def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
                      th, sub, nwin, wgroup, yblocks: int = 0):
     """Sort rounds by (y-block, window), pad window runs to wgroup, pad each
@@ -176,6 +208,19 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
     total = T * ns
     yb_round_total = yb_tiles * ns
     yb_base = np.concatenate([[0], np.cumsum(yb_round_total)[:-1]])
+
+    # Shatter guard BEFORE allocating: a scattered matrix (each nnz its own
+    # (row, panel) chunk) projects ~one round per nnz — powerlaw-1M
+    # measured 63M rounds = a 241 GiB val2. Legit packs keep fill >= ~0.2;
+    # refuse when the projection is both huge and pathologically empty so
+    # SpmvPlan's auto chain falls through to PSEG/XLA.
+    total_proj = int(yb_tiles.sum()) * ns
+    if (total_proj * SUBLANES * LANES * 4 > 1 << 30
+            and nnz < 0.05 * total_proj * SUBLANES * LANES):
+        raise ValueError(
+            f"w-SELL shattered: {total_proj} rounds for {nnz} nnz "
+            f"(fill {nnz / (total_proj * 1024):.4f}); scattered columns"
+        )
 
     # destination slot of each sorted round: y-block base + padded-run base
     # within the block + position within the run (runs are (yb, wrow)-sorted
@@ -297,6 +342,9 @@ def _pack_wsell_impl(a: CSR, *, th: int, sub: int, nwin: int,
     m, n = a.shape
     if sub <= 0:
         sub = pick_sub(a)
+    # refuse shattered packings BEFORE the round builder sizes its output
+    # from the chunk count (powerlaw-1M: 63M rounds = 258 GiB right here)
+    check_shattered(estimate_rounds(a, sub), a.nnz)
     if a.data.dtype == np.float32:
         from . import native
 

@@ -133,3 +133,63 @@ def test_hybrid_pack_refuses_shattered_tail():
             assert w.val.nbytes < 1 << 26
     except ValueError as e:
         assert "shattered" in str(e)
+
+
+def test_streamed_xt_spmm(monkeypatch):
+    import sblas.ops.kernels.spmm_bsr_pallas as sb
+    from sblas.golden import spmm_golden
+
+    a = datasets.emulate("cant", scale=0.1, dtype=np.float32)
+    monkeypatch.setattr(sb, "_VMEM_T_LIMIT", 150 * 1024)
+    p = sb.PallasSpmmBsrT(a, k_hint=8)
+    assert p._slice_pcols > 0 and p.R >= 1
+    x = np.random.default_rng(3).standard_normal(
+        (a.shape[1], 8)).astype(np.float32)
+    y = np.asarray(jax.jit(p.apply_pure)(p.device_arrays(),
+                                         jax.numpy.asarray(x)))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
+    # matches the resident-mode result bit-for-bit-ish
+    monkeypatch.setattr(sb, "_VMEM_T_LIMIT", int(14.5 * (1 << 20)))
+    p0 = sb.PallasSpmmBsrT(a, k_hint=8)
+    assert p0._slice_pcols == 0
+    y0 = np.asarray(jax.jit(p0.apply_pure)(p0.device_arrays(),
+                                           jax.numpy.asarray(x)))
+    np.testing.assert_allclose(y, y0, rtol=1e-5)
+
+
+def test_wsell_shatter_guard():
+    from sblas.retile_wsell import check_shattered
+
+    with pytest.raises(ValueError, match="shattered"):
+        check_shattered(1 << 22, 1000)          # huge and nearly empty
+    check_shattered(1 << 22, 1 << 31)           # huge but well-filled: ok
+    check_shattered(100, 5)                     # tiny: ok regardless
+
+
+def test_pseg_two_pass_counts():
+    # the native two-pass pack must produce identical rounds to before and
+    # exact-size allocations (no nnz-worst-case arrays)
+    from sblas import native
+
+    if native._build_and_load() is None:
+        pytest.skip("native builder unavailable")
+    a = datasets.powerlaw_graph(5000, avg_deg=20, seed=9, dtype=np.float32)
+    import sblas.ops.kernels.spmv_pseg as psg
+
+    ap, _, _ = psg.hub_relabel(a)
+    rows = ap.row_ids().astype(np.int64)
+    cols = ap.indices.astype(np.int64)
+    blk = rows // 1024
+    r_in = rows % 1024
+    tl = r_in % 128
+    ts = r_in // 128
+    pan = cols // 128
+    order = np.lexsort((pan, tl, blk))
+    packed = native.pack_pseg_rounds(
+        blk[order], tl[order], ts[order], pan[order], cols[order],
+        ap.data.astype(np.float32)[order], 1)
+    R, val, lcol, tsb, wrow, oblk, sidx = packed
+    assert R > 0 and val.shape == (R * 8, 128)
+    assert len(sidx) == 0
+    # every nnz appears exactly once
+    assert np.count_nonzero(val) == np.count_nonzero(ap.data)
