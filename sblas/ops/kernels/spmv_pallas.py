@@ -52,37 +52,31 @@ def check_value_dtype(value_dtype):
     return vd
 
 
-def _kernel(th, sub, nwin, wgroup, dot: str = "split3",
-            blocked: bool = False):
+def _kernel(th, sub, nwin, wgroup, dot: str = "split3"):
     lps = LANES // sub
     ns = th // SUBLANES
     ngrp = ns // wgroup
     gh = wgroup * SUBLANES        # rows per window group
 
-    def kern(*refs):
-        if blocked:
-            # blocked-y: two extra prefetch scalars — the tile's y block
-            # (consumed by the out BlockSpec index_map) and a first-tile
-            # flag that zeroes the freshly mapped block
-            (wrow_ref, obase_ref, tyb_ref, tfs_ref,
-             x2d_ref, val_ref, col_ref, out_ref) = refs
-        else:
-            wrow_ref, obase_ref, x2d_ref, val_ref, col_ref, out_ref = refs
+    def kern(wrow_ref, obase_ref, x2d_ref, val_ref, col_ref, out_ref):
         t = pl.program_id(0)
+
+        def rmeta(ref, i):
+            return ref[t * ns + i]
 
         seg = (jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 0) // lps
                == jax.lax.broadcasted_iota(jnp.int32, (LANES, sub), 1)
                ).astype(jnp.float32)
         segb = seg.astype(jnp.bfloat16)   # 0/1: exact in bf16
 
-        @pl.when(tfs_ref[t] == 1 if blocked else t == 0)
+        @pl.when(t == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
         # Static unroll: Mosaic does not pipeline fori_loop iterations
         # (measured 80 ns/iteration of pure loop overhead).
         for q in range(ngrp):
-            w = wrow_ref[t * ns + q * wgroup]
+            w = rmeta(wrow_ref, q * wgroup)
             v = val_ref[q * gh:(q + 1) * gh, :].astype(jnp.float32)
             c = col_ref[q * gh:(q + 1) * gh, :].astype(jnp.int32)
             xw = x2d_ref[pl.ds(w, 1), :]                    # (1, 128)
@@ -121,7 +115,7 @@ def _kernel(th, sub, nwin, wgroup, dot: str = "split3",
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
             for j in range(wgroup):
-                b = obase_ref[t * ns + q * wgroup + j]
+                b = rmeta(obase_ref, q * wgroup + j)
                 slab = b * SUBLANES
                 cur = out_ref[pl.ds(slab, SUBLANES), :]
                 out_ref[pl.ds(slab, SUBLANES), :] = (
@@ -158,9 +152,8 @@ class PallasSpmv:
         # m=1M, sub=16 -> 32 MB physical vs 4 MB nominal; crashed the
         # remote compiler when the guard counted nominal bytes). Beyond
         # that (~262K rows at sub=16), switch to the BLOCKED-Y layout:
-        # rounds sorted y-block-major, one 4096-row y block resident at a
-        # time (2 MB physical, double-buffered), out BlockSpec indexed by
-        # a per-tile prefetch scalar.
+        # rounds sorted y-block-major with block-local obase, solved as
+        # one pallas_call per 4096-row y block (see __init__ below).
         sub_eff = sub if sub > 0 else pick_sub(a)
         y_rows_est = (-(-max(m, 1) // (SUBLANES * sub_eff))) * SUBLANES
         yblocks = _YBLOCKS if y_rows_est * LANES * 4 > _VMEM_Y_LIMIT else 0
@@ -178,73 +171,79 @@ class PallasSpmv:
         self.bytes_per_iter = (w.bytes_per_iter + n * 4 + m * 4
                                - w.val.size * (4 - value_dtype.itemsize))
         self.lcol_itemsize = w.lcol.itemsize
-        self._val = jnp.asarray(w.val).astype(value_dtype)
-        self._lcol = jnp.asarray(w.lcol)
-        self._wr = jnp.asarray(w.round_wrow)
-        self._ob = jnp.asarray(w.round_obase)
         self.blocked = w.tile_yblk is not None
         if self.blocked:
-            self._tyb = jnp.asarray(w.tile_yblk)
-            self._tfs = jnp.asarray(w.tile_first)
-        self._call = self._build()
+            # ONE pallas_call per y block, each over its contiguous tile
+            # slice with its own (small) prefetch-scalar arrays. Whole-run
+            # scalar prefetch busts SMEM beyond ~130K rounds (fem-band-1M:
+            # 240K rounds = 2 MB of (wrow, obase) -> HTTP-500 compile
+            # crash at every th), and SMEM-streamed (ns,) metadata
+            # BlockSpecs crash the Mosaic compiler outright (measured on
+            # the 500K case that compiles fine with prefetch scalars).
+            # Per-call cost: one x2d re-stage (4 MB at m=1M, ~6% extra
+            # traffic over the schedule stream).
+            ns = w.th // SUBLANES
+            tile_of = np.asarray(w.tile_yblk)
+            bounds = np.searchsorted(tile_of, np.arange(w.num_yblks + 1))
+            self._blk_tiles = tuple(int(bounds[g + 1] - bounds[g])
+                                    for g in range(w.num_yblks))
+            vals, lcols, wrs, obs = [], [], [], []
+            for g in range(w.num_yblks):
+                t0, t1 = int(bounds[g]), int(bounds[g + 1])
+                vals.append(jnp.asarray(
+                    w.val[t0 * w.th: t1 * w.th]).astype(value_dtype))
+                lcols.append(jnp.asarray(w.lcol[t0 * w.th: t1 * w.th]))
+                wrs.append(jnp.asarray(w.round_wrow[t0 * ns: t1 * ns]))
+                obs.append(jnp.asarray(w.round_obase[t0 * ns: t1 * ns]))
+            self._val = tuple(vals)
+            self._lcol = tuple(lcols)
+            self._wr = tuple(wrs)
+            self._ob = tuple(obs)
+            self._calls = tuple(self._build_one(T) for T in self._blk_tiles)
+        else:
+            self._val = jnp.asarray(w.val).astype(value_dtype)
+            self._lcol = jnp.asarray(w.lcol)
+            self._wr = jnp.asarray(w.round_wrow)
+            self._ob = jnp.asarray(w.round_obase)
+            self._call = self._build_one(w.num_tiles)
 
-    def _build(self):
+    def _build_one(self, T):
+        """pallas_call over T tiles writing one whole-VMEM y buffer (the
+        full y when unblocked; one y block when blocked — obase is local)."""
         w = self.layout
-        T = w.num_tiles
         from ...utils.backend import on_cpu
         interpret = on_cpu()
 
-        if self.blocked:
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=(T,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d whole
-                    pl.BlockSpec((w.th, LANES),
-                                 lambda t, wr, ob, yb, fs: (t, 0)),
-                    pl.BlockSpec((w.th, LANES),
-                                 lambda t, wr, ob, yb, fs: (t, 0)),
-                ],
-                # one resident y block; consecutive tiles of the same block
-                # revisit the same index (no write-back until it changes)
-                out_specs=pl.BlockSpec(
-                    (w.yb_rows, w.sub),
-                    lambda t, wr, ob, yb, fs: (yb[t], 0)),
-            )
-            out_rows = w.num_yblks * w.yb_rows
-        else:
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(T,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d, whole
-                    pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
-                    pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
-                ],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
-            )
-            out_rows = w.y_rows
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d, whole
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+                pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y blk
+        )
+        out_rows = w.yb_rows if self.blocked else w.y_rows
 
         return pl.pallas_call(
-            _kernel(w.th, w.sub, w.nwin, w.wgroup, self.dot,
-                    blocked=self.blocked),
+            _kernel(w.th, w.sub, w.nwin, w.wgroup, self.dot),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((out_rows, w.sub), jnp.float32),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=int(2 * T * w.th * LANES),
-                bytes_accessed=int(self.bytes_per_iter),
+                bytes_accessed=int(T * w.th * LANES
+                                   * (self.value_dtype.itemsize
+                                      + self.lcol_itemsize)
+                                   + out_rows * w.sub * 4),
                 transcendentals=0,
             ),
         )
 
     def device_arrays(self):
-        d = {"wr": self._wr, "ob": self._ob,
-             "val": self._val, "lcol": self._lcol}
-        if self.blocked:
-            d["tyb"] = self._tyb
-            d["tfs"] = self._tfs
-        return d
+        return {"wr": self._wr, "ob": self._ob,
+                "val": self._val, "lcol": self._lcol}
 
     def apply_pure(self, arrs, x):
         m, n = self.shape
@@ -252,8 +251,13 @@ class PallasSpmv:
         pad = w.x2d_rows * 128 - n
         x2d = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(-1, 128)
         if self.blocked:
-            y = self._call(arrs["wr"], arrs["ob"], arrs["tyb"], arrs["tfs"],
-                           x2d, arrs["val"], arrs["lcol"])
+            parts = [
+                call(wr, ob, x2d, val, lcol)
+                for call, wr, ob, val, lcol in zip(
+                    self._calls, arrs["wr"], arrs["ob"], arrs["val"],
+                    arrs["lcol"])
+            ]
+            y = jnp.concatenate(parts, axis=0)
         else:
             y = self._call(arrs["wr"], arrs["ob"], x2d, arrs["val"],
                            arrs["lcol"])
