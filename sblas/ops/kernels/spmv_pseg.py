@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...formats import CSR
-from ...retile_pseg import pack_pseg, SUBLANES, LANES
+from ...retile_pseg import pack_pseg, HUB_PANELS, SUBLANES, LANES
 
 _VMEM_X_LIMIT = 24 * (1 << 20)
 _VMEM_Y_LIMIT = 8 * (1 << 20)
@@ -90,11 +90,24 @@ def _kernel(th, tail: bool = False, zero_out: bool = True):
     return kern
 
 
-def hub_relabel(a: CSR):
+def hub_relabel(a: CSR, min_hub_frac: float = 0.10):
     """(A[rowperm][:, colperm], colperm, rowperm): columns by descending
-    popularity (hubs -> panel 0/1), rows by descending degree."""
+    popularity (hubs -> panel 0/1), rows by descending degree.
+
+    When the would-be hub columns hold < ``min_hub_frac`` of the nnz the
+    matrix has NO hub structure (e.g. a band matrix, where all columns are
+    equally popular) and the popularity sort only destroys whatever column
+    locality exists — the fem-band-1M tail shattered to fill 0.03 after
+    relabeling vs ~0.8 in natural order. Return identity perms in that
+    case; the panel-bound tail windows then ride the native locality."""
     m, n = a.shape
     pop = np.bincount(a.indices, minlength=n)
+    nhub = HUB_PANELS * LANES
+    hub_mass = int(np.sort(pop)[::-1][:nhub].sum()) if n > nhub else a.nnz
+    if hub_mass < min_hub_frac * max(a.nnz, 1):
+        ident_c = np.arange(n, dtype=np.int64)
+        ident_r = np.arange(m, dtype=np.int64)
+        return a, ident_c, ident_r
     colperm = np.argsort(-pop, kind="stable").astype(np.int64)
     deg = a.row_lengths
     rowperm = np.argsort(-deg, kind="stable").astype(np.int64)

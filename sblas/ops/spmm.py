@@ -196,17 +196,11 @@ class SpmmPlan:
         from ..utils.backend import on_cpu
 
         if a.dtype != np.float64 and not on_cpu():
-            if k_hint is not None:
-                # transposed kernel holds Xt whole in VMEM (Yt splits into
-                # block-row ranges); when Xt alone leaves no room for even
-                # a small Yt slice, go straight to the (rows, K) BSR
-                from .kernels.spmm_bsr_pallas import _VMEM_T_LIMIT
-
-                m, n = a.shape
-                kp = -(-k_hint // 8) * 8
-                xt = kp * -(-n // 128) * 128 * 4
-                if _VMEM_T_LIMIT - xt < 8 * kp * 128 * 4:
-                    return "bsr_pallas"
+            # the transposed kernel streams ~2 MB Xt column slices when Xt
+            # does not fit VMEM whole (fem-band-1M: the old shortcut to the
+            # (rows, K) kernel dead-ended in the 569 ms XLA ell fallback),
+            # so it is the first choice at every size; the auto chain in
+            # __init__ falls through on construction failure
             return "bsr_pallas_t"
         return SpmmPlan._xla_heuristic(a)
 

@@ -96,6 +96,7 @@ class SpmvPlan:
                 self._pallas = PallasSpmv(a, value_dtype=value_dtype,
                                           **fill_kw)
                 self.method = "pallas"
+                self.fill = self._pallas.layout.fill
                 self.bytes_per_iter = self._pallas.bytes_per_iter
                 return
             except ValueError:
@@ -166,6 +167,7 @@ class SpmvPlan:
 
             self._pallas = PallasSpmv(a, value_dtype=value_dtype,
                                       **fill_kw)
+            self.fill = self._pallas.layout.fill
             self.bytes_per_iter = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmv method {method!r}")

@@ -145,15 +145,17 @@ def test_spmm_bsr_pallas_t_bf16_values():
 
 def test_spmm_bsr_pallas_t_vmem_guard_falls_back():
     # Xt whole-in-VMEM past the compile ceiling (e13b/e13c) must refuse
-    # per-K and __call__ must degrade to the (rows, K) BSR kernel, not XLA.
-    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    # per-K, and __call__ must degrade to a REBUILT transposed plan in
+    # streamed-Xt mode (stays on the block-DMA roofline), not XLA.
+    a = datasets.emulate("cant", scale=0.03, dtype=np.float32)
     plan = SpmmPlan(a, "bsr_pallas_t")
     with pytest.raises(ValueError):
         plan._pallas._get_calls(8192)
     x = np.random.default_rng(83).standard_normal(
         (a.shape[1], 2048)).astype(np.float32)
     y = np.asarray(plan(x))   # falls back internally
-    assert plan._fb and plan._fb[2048].method == "bsr_pallas"
+    assert plan._fb and plan._fb[2048].method == "bsr_pallas_t"
+    assert plan._fb[2048]._pallas._slice_pcols > 0   # streamed-Xt mode
     assert rel_err(y, spmm_golden(a, x)) < 2e-5
 
 
