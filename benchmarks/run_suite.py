@@ -60,6 +60,15 @@ def main():
         rec = bench_lib.bench_spmv(a64, method="auto", iters=3)
         rec.extra["matrix"] = "cant-f64"
         emit(rec)
+        # double-single Pallas fast path: f64-class accuracy (~1e-14) from
+        # two f32 planes (spmv_wsell_ds; VERDICT r1 item 8's "first TPU
+        # f64-class fast path")
+        try:
+            rec = bench_lib.bench_spmv(a64, method="pallas_ds", iters=25)
+            rec.extra["matrix"] = "cant-f64"
+            emit(rec)
+        except Exception as e:
+            print(f"# spmv f64 ds FAIL: {str(e)[:300]}", flush=True)
         return
 
     sbw = stream_bandwidth()

@@ -59,7 +59,12 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
         tol = max(tol, default_tol(value_dtype))
     if validate:
         y = np.asarray(plan(x0))
-        err = rel_err(y, spmv_golden(a, np.asarray(x0)))
+        # upcast x to the matrix dtype: under x64-off jnp silently holds x0
+        # in f32, and a golden computed AT f32 makes a f64-class validation
+        # meaningless (caught by the pallas_ds path: the "error" was the
+        # reference's rounding). f32 -> f64 is exact, so this is consistent
+        # for every method.
+        err = rel_err(y, spmv_golden(a, np.asarray(x0, dtype=a.dtype)))
         extra["rel_err"] = err
         assert err < tol, f"validation failed: {err}"
 
@@ -81,6 +86,16 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
 
         def step(x, arrs, x0):
             return x0 + _EPS * plan.apply_permuted(arrs, x)
+    elif plan.method == "pallas_ds":
+        # double-single: the carry is the (hi, lo) plane pair; feedback adds
+        # per-plane (no renormalization — timing only, validated above)
+        ps = plan._pallas
+        xh, xl = ps.split_x(np.asarray(x0, dtype=np.float64))
+        x0 = (jnp.asarray(xh), jnp.asarray(xl))
+
+        def step(x, arrs, x0):
+            yh, yl = ps.apply_pure(arrs, x[0], x[1])
+            return (x0[0] + _EPS * yh, x0[1] + _EPS * yl)
     else:
         def step(x, arrs, x0):
             return x0 + _EPS * plan.apply_pure(arrs, x)

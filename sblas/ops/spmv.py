@@ -169,6 +169,14 @@ class SpmvPlan:
                                       **fill_kw)
             self.fill = self._pallas.layout.fill
             self.bytes_per_iter = self._pallas.bytes_per_iter
+        elif method == "pallas_ds":
+            # double-single f64-class fast path (opt-in: ~1e-14 error model
+            # vs the XLA paths' true-f64 semantics; see spmv_wsell_ds)
+            from .kernels.spmv_wsell_ds import PallasSpmvDS
+
+            self._pallas = PallasSpmvDS(a, **fill_kw)
+            self.fill = self._pallas.layout.fill
+            self.bytes_per_iter = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmv method {method!r}")
 
@@ -242,6 +250,11 @@ class SpmvPlan:
     def apply_pure(self, arrs, x):
         """y = A @ x with arrays passed explicitly (jit-argument safe)."""
         m = self.shape[0]
+        if self.method == "pallas_ds":
+            raise ValueError(
+                "pallas_ds carries x as two f32 planes; use "
+                "plan._pallas.apply_pure(arrs, xh, xl) (split_x) or the "
+                "numpy-f64 __call__")
         if self.method == "coo":
             return jax.ops.segment_sum(arrs["vals"] * x[arrs["cols"]],
                                        arrs["rows"], num_segments=m)
@@ -288,6 +301,10 @@ class SpmvPlan:
 
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
         m, n = self.shape
+        if self.method == "pallas_ds":
+            # numpy f64 boundary: jnp.asarray would silently downcast f64
+            # to f32 under the default x64-off config (see spmv_wsell_ds)
+            return self._pallas(x, alpha, beta, y, y is not None)
         x = jnp.asarray(x, dtype=self.dtype)
         if x.shape != (n,):
             raise ValueError(f"x must have shape ({n},), got {x.shape}")
