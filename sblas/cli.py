@@ -100,7 +100,7 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--method", default="auto",
                     choices=["auto", "coo", "ell", "bucket", "pallas",
-                             "pseg", "rcm"])
+                             "pseg", "rcm", "pallas_ds"])
     sp.add_argument("--value-dtype", default=None, choices=["bf16"],
                     help="store matrix values bf16 on the Pallas paths "
                          "(halves the nnz stream; ~1e-3 value rounding)")
