@@ -208,7 +208,15 @@ class PallasSpmmBsrT:
 
         # per-range streams: blocks are brow-sorted, so each range is a
         # contiguous slice, padded to a tb multiple; brow indices are local
-        # to the range (out block-row 0 = range start)
+        # to the range (out block-row 0 = range start). All ranges are then
+        # padded to ONE (T_max, rb_max) shape so a single compiled
+        # pallas_call serves every range: R distinct shapes used to mean R
+        # sequential remote Mosaic compiles (pwtk K=32: 22 ranges x 30-60 s
+        # with zero output — indistinguishable from a hang; the suite
+        # watchdog killed healthy runs). Pad tiles sit at the END of each
+        # stream (zero blocks aimed at the range's last block-row, keeping
+        # the resident Xt slice), so they cost only their DMA bytes —
+        # counted in bytes_per_iter.
         ats, brows, bcols, tiles, csls = [], [], [], [], []
         lo = 0
         base = 0
@@ -251,7 +259,7 @@ class PallasSpmmBsrT:
                 else:
                     csl_all = np.zeros(tot, np.int64)
                 T = tot // tb
-                csls.append(jnp.asarray(csl_all[::tb].astype(np.int32)))
+                csls.append(csl_all[::tb].astype(np.int32))
             else:
                 T = max(-(-cnt // tb), 1)
                 tot = T * tb
@@ -263,18 +271,35 @@ class PallasSpmmBsrT:
                 brow[:cnt] = bsr.brow[lo:hi] - base
                 bcol[:cnt] = bsr.bcol[lo:hi]
                 brow[cnt:] = rb - 1
-            ats.append(jnp.asarray(at).astype(value_dtype))
-            brows.append(jnp.asarray(brow))
-            bcols.append(jnp.asarray(bcol))
+            ats.append(at)
+            brows.append(brow)
+            bcols.append(bcol)
             tiles.append(T)
-            total_blocks += tot
             lo = hi
             base += rb
-        self._ats = tuple(ats)
-        self._brows = tuple(brows)
-        self._bcols = tuple(bcols)
-        self._tiles = tuple(tiles)
-        self._csls = tuple(csls)
+        # unify: pad every range to T_max tiles (zero blocks -> last local
+        # block-row, resident slice) so one pallas_call shape fits all
+        t_max = max(tiles)
+        for i, (rb, T) in enumerate(zip(self._range_brows, tiles)):
+            extra = (t_max - T) * tb
+            if extra:
+                ats[i] = np.concatenate(
+                    [ats[i], np.zeros((extra * 128, 128), np.float32)])
+                brows[i] = np.concatenate(
+                    [brows[i], np.full(extra, rb - 1, np.int32)])
+                bcols[i] = np.concatenate(
+                    [bcols[i], np.zeros(extra, np.int32)])
+                if self._slice_pcols:
+                    last = csls[i][-1] if len(csls[i]) else np.int32(0)
+                    csls[i] = np.concatenate(
+                        [csls[i], np.full(t_max - T, last, np.int32)])
+            total_blocks += t_max * tb
+        self._ats = tuple(jnp.asarray(a).astype(value_dtype) for a in ats)
+        self._brows = tuple(jnp.asarray(b) for b in brows)
+        self._bcols = tuple(jnp.asarray(b) for b in bcols)
+        self._tiles = (t_max,) * self.R
+        self._rb_max = max(self._range_brows)
+        self._csls = tuple(jnp.asarray(c) for c in csls)
         xt_bytes = self._kp_built * bsr.num_bcols * 128 * 4
         self.bytes_per_iter = (
             total_blocks * 128 * 128 * value_dtype.itemsize
@@ -345,62 +370,65 @@ class PallasSpmmBsrT:
             )
         from ...utils.backend import on_cpu
         interpret = on_cpu()
-        calls = []
-        for T, rb in zip(self._tiles, self._range_brows):
-            if self._slice_pcols:
-                sp_ = self._slice_pcols
-                calls.append(pl.pallas_call(
-                    _kernel_t_streamed(self.tb, kp, self.precision),
-                    grid_spec=pltpu.PrefetchScalarGridSpec(
-                        num_scalar_prefetch=3,
-                        grid=(T,),
-                        in_specs=[
-                            # Xt slice picked by the tile's prefetch scalar
-                            pl.BlockSpec(
-                                (kp, sp_ * 128),
-                                lambda t, cs_, br_, bc_: (0, cs_[t])),
-                            pl.BlockSpec((self.tb * 128, 128),
-                                         lambda t, cs_, br_, bc_: (t, 0)),
-                        ],
-                        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                    ),
-                    out_shape=jax.ShapeDtypeStruct((kp, rb * 128),
-                                                   jnp.float32),
-                    interpret=interpret,
-                    cost_estimate=pl.CostEstimate(
-                        flops=int(2 * T * self.tb * 128 * 128 * kp),
-                        bytes_accessed=int(
-                            T * self.tb * 128 * 128
-                            * self.value_dtype.itemsize
-                            + kp * (self.bsr.num_bcols + rb) * 128 * 4),
-                        transcendentals=0,
-                    ),
-                ))
-            else:
-                calls.append(pl.pallas_call(
-                    _kernel_t(self.tb, kp, self.precision),
-                    grid_spec=pltpu.PrefetchScalarGridSpec(
-                        num_scalar_prefetch=2,
-                        grid=(T,),
-                        in_specs=[
-                            pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt
-                            pl.BlockSpec((self.tb * 128, 128),
-                                         lambda t, br_, bc_: (t, 0)),
-                        ],
-                        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                    ),
-                    out_shape=jax.ShapeDtypeStruct((kp, rb * 128),
-                                                   jnp.float32),
-                    interpret=interpret,
-                    cost_estimate=pl.CostEstimate(
-                        flops=int(2 * T * self.tb * 128 * 128 * kp),
-                        bytes_accessed=int(
-                            T * self.tb * 128 * 128
-                            * self.value_dtype.itemsize
-                            + kp * (self.bsr.num_bcols + rb) * 128 * 4),
-                        transcendentals=0,
-                    ),
-                ))
+        # ONE call shape for every range (streams were padded to a common
+        # (T_max, rb_max) in __init__): one Mosaic compile instead of R
+        T = self._tiles[0]
+        rb = self._rb_max
+        if self._slice_pcols:
+            sp_ = self._slice_pcols
+            call = pl.pallas_call(
+                _kernel_t_streamed(self.tb, kp, self.precision),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(T,),
+                    in_specs=[
+                        # Xt slice picked by the tile's prefetch scalar
+                        pl.BlockSpec(
+                            (kp, sp_ * 128),
+                            lambda t, cs_, br_, bc_: (0, cs_[t])),
+                        pl.BlockSpec((self.tb * 128, 128),
+                                     lambda t, cs_, br_, bc_: (t, 0)),
+                    ],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((kp, rb * 128),
+                                               jnp.float32),
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=int(2 * T * self.tb * 128 * 128 * kp),
+                    bytes_accessed=int(
+                        T * self.tb * 128 * 128
+                        * self.value_dtype.itemsize
+                        + kp * (self.bsr.num_bcols + rb) * 128 * 4),
+                    transcendentals=0,
+                ),
+            )
+        else:
+            call = pl.pallas_call(
+                _kernel_t(self.tb, kp, self.precision),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(T,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt
+                        pl.BlockSpec((self.tb * 128, 128),
+                                     lambda t, br_, bc_: (t, 0)),
+                    ],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((kp, rb * 128),
+                                               jnp.float32),
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=int(2 * T * self.tb * 128 * 128 * kp),
+                    bytes_accessed=int(
+                        T * self.tb * 128 * 128
+                        * self.value_dtype.itemsize
+                        + kp * (self.bsr.num_bcols + rb) * 128 * 4),
+                    transcendentals=0,
+                ),
+            )
+        calls = [call] * self.R
         self._calls[kp] = calls
         return calls
 
@@ -424,16 +452,17 @@ class PallasSpmmBsrT:
                      ((0, pad), (0, kp - k))).T        # (kp, cols)
         if self._slice_pcols:
             parts = [
-                call(csl, brow, bcol, xt, at)
-                for call, csl, brow, bcol, at in zip(
+                call(csl, brow, bcol, xt, at)[:, :rb * 128]
+                for call, csl, brow, bcol, at, rb in zip(
                     calls, arrs["csl"], arrs["brow"], arrs["bcol"],
-                    arrs["at"])
+                    arrs["at"], self._range_brows)
             ]
         else:
             parts = [
-                call(brow, bcol, xt, at)
-                for call, brow, bcol, at in zip(
-                    calls, arrs["brow"], arrs["bcol"], arrs["at"])
+                call(brow, bcol, xt, at)[:, :rb * 128]
+                for call, brow, bcol, at, rb in zip(
+                    calls, arrs["brow"], arrs["bcol"], arrs["at"],
+                    self._range_brows)
             ]
         yt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         return yt[:k, :m].T.astype(self.dtype)

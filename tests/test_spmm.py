@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -141,6 +142,32 @@ def test_spmm_bsr_pallas_t_bf16_values():
         (a.shape[1], 8)).astype(np.float32)
     plan = SpmmPlan(a, "bsr_pallas_t", value_dtype="bfloat16")
     assert rel_err(np.asarray(plan(x)), spmm_golden(a, x)) < 2e-2
+
+
+def test_spmm_bsr_t_unified_range_shapes(monkeypatch):
+    # multi-range plans pad every range to one (T_max, rb_max) shape so a
+    # SINGLE compiled pallas_call serves all ranges (R distinct shapes
+    # meant R sequential remote compiles — pwtk K=32's 22-range build
+    # looked like a hang to the suite watchdog)
+    from sblas.ops.kernels import spmm_bsr_pallas as mod
+
+    a = datasets.emulate("cant", scale=0.1, dtype=np.float32)
+    x = np.random.default_rng(11).standard_normal(
+        (a.shape[1], 8)).astype(np.float32)
+    ref = spmm_golden(a, x)
+    monkeypatch.setattr(mod, "_VMEM_T_LIMIT", 300 * 1024)
+    p = mod.PallasSpmmBsrT(a, k_hint=8)
+    assert p.R > 1 and not p._slice_pcols
+    assert len(set(p._tiles)) == 1
+    calls = p._get_calls(8)
+    assert all(c is calls[0] for c in calls)
+    assert rel_err(np.asarray(p.apply_traced(jnp.asarray(x))), ref) < 2e-5
+    monkeypatch.setattr(mod, "_VMEM_T_LIMIT", 120 * 1024)
+    p2 = mod.PallasSpmmBsrT(a, k_hint=8)
+    assert p2.R > 1 and p2._slice_pcols
+    calls2 = p2._get_calls(8)
+    assert all(c is calls2[0] for c in calls2)
+    assert rel_err(np.asarray(p2.apply_traced(jnp.asarray(x))), ref) < 2e-5
 
 
 def test_spmm_bsr_pallas_t_vmem_guard_falls_back():
