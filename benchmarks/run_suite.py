@@ -20,9 +20,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # float64 to f32 — caught round 5: f64 SpMV "validated" at 1e-7). But the
 # flag is global and poisons every int index array to int64, which Mosaic
 # rejects — so the f64 stage runs in a SUBPROCESS (--f64-only) with the
-# flag on, and the parent process never sets it.
+# flag on, and the parent process never sets it. The config.update here is
+# belt-and-braces: the sitecustomize pre-imports jax, and one suite_r5
+# attempt saw the late update NOT stick (f64 arrays downcast, validation
+# tripped at 1e-7) — the subprocess launch therefore also sets
+# JAX_ENABLE_X64=1 in its environment, which jax reads at import.
 if "--f64-only" in sys.argv:
     jax.config.update("jax_enable_x64", True)
+    assert jax.config.jax_enable_x64, "x64 flag did not stick"
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -106,11 +111,13 @@ def main():
     # Subprocess: jax_enable_x64 is process-global and would poison the f32
     # paths' index dtypes (see header comment).
     if not args.quick:
+        import os
         import subprocess
 
         r = subprocess.run(
             [sys.executable, __file__, "--f64-only", "--out", str(out)],
-            capture_output=True, text=True, timeout=1800)
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "JAX_ENABLE_X64": "1"})
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 records.append(json.loads(line))

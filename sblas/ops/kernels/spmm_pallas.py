@@ -19,10 +19,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...formats import CSR
-from ...retile_wsell import pack_wsell, SUBLANES, LANES
+from ...retile_wsell import pack_wsell, pick_sub, SUBLANES, LANES
 
 _VMEM_XT_LIMIT = 24 * (1 << 20)
 _VMEM_Y_LIMIT = 24 * (1 << 20)
+_YBLOCKS = 512    # row blocks per resident y block in blocked mode (matches
+#                   spmv_pallas; 4096 y2d rows)
 
 
 def _kernel(th, sub, nwin, wgroup, k):
@@ -82,7 +84,7 @@ class PallasSpmm:
 
     def __init__(self, a: CSR, *, th: int = 1024, sub: int = 0,
                  nwin: int = 2, wgroup: int = 4, min_fill: float = 0.2,
-                 value_dtype=None):
+                 value_dtype=None, k_hint: int = 8):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype
@@ -90,7 +92,25 @@ class PallasSpmm:
         value_dtype = check_value_dtype(value_dtype)
         self.value_dtype = value_dtype
         m, n = a.shape
-        w = pack_wsell(a, th=th, sub=sub, nwin=nwin, wgroup=wgroup)
+        # BLOCKED-Y + WINDOWED-X mode for matrices where Xt (k, x2d_rows,
+        # 128) or the y accumulator busts VMEM whole (fem-band-1M at K=8:
+        # Xt 32 MB -> the old guard pushed the auto chain into the 569 ms
+        # XLA ell fallback, 0.25% of STREAM). Rounds are packed y-block-
+        # major (one pallas_call per 4096-row y block, as blocked spmv);
+        # each block's rounds touch only x panels in [min(wrow),
+        # max(wrow)+nwin), so the call stages just that SLICE of Xt — on
+        # banded/FEM locality the per-block window is narrow. All blocks
+        # pad to one (T_max, win) shape: a single Mosaic compile serves
+        # every block.
+        sub_eff = sub if sub > 0 else pick_sub(a)
+        x2d_rows_est = -(-n // 128) + 1
+        y_rows_est = (-(-max(m, 1) // (SUBLANES * sub_eff))) * SUBLANES
+        kh = max(k_hint, 1)
+        self.blocked = (kh * x2d_rows_est * 128 * 4 > _VMEM_XT_LIMIT
+                        or y_rows_est * max(kh * sub_eff, 128) * 4
+                        > _VMEM_Y_LIMIT)
+        w = pack_wsell(a, th=th, sub=sub_eff, nwin=nwin, wgroup=wgroup,
+                       yblocks=_YBLOCKS if self.blocked else 0)
         if w.fill < min_fill:
             raise ValueError(
                 f"w-SELL fill {w.fill:.2f} below {min_fill}; use the XLA path"
@@ -101,18 +121,85 @@ class PallasSpmm:
         self.nnz = a.nnz
         self.bytes_per_iter = (w.bytes_per_iter
                                - w.val.size * (4 - value_dtype.itemsize))
+        self._calls = {}
+        self._kp_built = kh
+        self.win = 0
+        self.t_max = 0
+        if self.blocked:
+            self._init_blocked(w, value_dtype, kh)
+            return
         self._val = jnp.asarray(w.val).astype(value_dtype)
         self._lcol = jnp.asarray(w.lcol)
         self._wr = jnp.asarray(w.round_wrow)
         self._ob = jnp.asarray(w.round_obase)
-        self._calls = {}
+
+    def _init_blocked(self, w, value_dtype, kh: int):
+        ns = w.th // SUBLANES
+        tile_of = np.asarray(w.tile_yblk)
+        bounds = np.searchsorted(tile_of, np.arange(w.num_yblks + 1))
+        # per-block x window from the round wrows (pad rounds inherit real
+        # windows in the packer, so min/max are tight)
+        los, his = [], []
+        for g in range(w.num_yblks):
+            wr = w.round_wrow[bounds[g] * ns: bounds[g + 1] * ns]
+            los.append(int(wr.min()))     # never empty: >= 1 tile per block
+            his.append(int(wr.max()) + w.nwin)
+        win = max(hi - lo for lo, hi in zip(los, his))
+        win = -(-win // SUBLANES) * SUBLANES
+        if kh * win * 128 * 4 > _VMEM_XT_LIMIT:
+            raise ValueError(
+                f"x window ({win} panels at k={kh}) exceeds the VMEM "
+                "staging limit (columns too scattered for the windowed-x "
+                "mode); use the PSEG/XLA paths"
+            )
+        self.win = win
+        self.x2d_rows_pad = max(w.x2d_rows, max(lo + win for lo in los))
+        self._blk_lo = tuple(los)
+        t_max = int(max(bounds[g + 1] - bounds[g]
+                        for g in range(w.num_yblks)))
+        self.t_max = t_max
+        vals, lcols, wrs, obs = [], [], [], []
+        for g in range(w.num_yblks):
+            t0, t1 = int(bounds[g]), int(bounds[g + 1])
+            T = t1 - t0
+            val = w.val[t0 * w.th: t1 * w.th]
+            lcol = w.lcol[t0 * w.th: t1 * w.th]
+            wr = w.round_wrow[t0 * ns: t1 * ns] - los[g]
+            ob = w.round_obase[t0 * ns: t1 * ns]
+            if T < t_max:
+                pad_t = t_max - T
+                val = np.concatenate(
+                    [val, np.zeros((pad_t * w.th, LANES), val.dtype)])
+                lcol = np.concatenate(
+                    [lcol, np.zeros((pad_t * w.th, LANES), lcol.dtype)])
+                last_wr = wr[-1] if len(wr) else 0
+                wr = np.concatenate(
+                    [wr, np.full(pad_t * ns, last_wr, wr.dtype)])
+                ob = np.concatenate([ob, np.zeros(pad_t * ns, ob.dtype)])
+            vals.append(jnp.asarray(val).astype(value_dtype))
+            lcols.append(jnp.asarray(lcol))
+            wrs.append(jnp.asarray(wr))
+            obs.append(jnp.asarray(ob))
+        self._val = tuple(vals)
+        self._lcol = tuple(lcols)
+        self._wr = tuple(wrs)
+        self._ob = tuple(obs)
+        # schedule stream grows to the padded t_max; x-window re-staging
+        # (slice copy + kernel DMA) is k-dependent — counted with k_hint
+        self.bytes_per_iter = (
+            w.num_yblks * t_max * w.th * LANES
+            * (value_dtype.itemsize + w.lcol.itemsize)
+            + w.num_yblks * t_max * ns * 8
+            + 2 * w.num_yblks * self.win * 128 * kh * 4
+        )
 
     def _get_call(self, k: int):
         if k in self._calls:
             return self._calls[k]
         w = self.layout
         n = self.shape[1]
-        if k * w.x2d_rows * 128 * 4 > _VMEM_XT_LIMIT:
+        xt_rows = self.win if self.blocked else w.x2d_rows
+        if k * xt_rows * 128 * 4 > _VMEM_XT_LIMIT:
             raise ValueError("X exceeds VMEM staging limit for pallas spmm")
         # The kernel statically unrolls ngrp*k bodies per grid step; measured
         # on v5e, ~1024 bodies (th=1024, wgroup=4, k=32) crashes the Mosaic
@@ -123,15 +210,17 @@ class PallasSpmm:
                 f"pallas spmm unroll ngrp*k = {ngrp * k} exceeds the Mosaic "
                 "compile budget; use the bsr_pallas or XLA path for this K"
             )
-        if w.y_rows * w.sub * k * 4 > _VMEM_Y_LIMIT:
+        out_rows = w.yb_rows if self.blocked else w.y_rows
+        if out_rows * max(w.sub * k, 128) * 4 > _VMEM_Y_LIMIT:
             raise ValueError("Y exceeds VMEM accumulator limit")
+        T = self.t_max if self.blocked else w.num_tiles
         from ...utils.backend import on_cpu
         interpret = on_cpu()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(w.num_tiles,),
+            grid=(T,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt whole
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Xt (whole / window)
                 pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
                 pl.BlockSpec((w.th, LANES), lambda t, wr, ob: (t, 0)),
             ],
@@ -140,11 +229,15 @@ class PallasSpmm:
         call = pl.pallas_call(
             _kernel(w.th, w.sub, w.nwin, w.wgroup, k),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((w.y_rows, k * w.sub), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((out_rows, k * w.sub),
+                                           jnp.float32),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=int(2 * w.num_tiles * w.th * LANES * k),
-                bytes_accessed=int(self.bytes_per_iter + n * k * 8),
+                flops=int(2 * T * w.th * LANES * k),
+                bytes_accessed=int(T * w.th * LANES
+                                   * (self.value_dtype.itemsize
+                                      + w.lcol.itemsize)
+                                   + (xt_rows + out_rows) * 128 * k * 4),
                 transcendentals=0,
             ),
         )
@@ -160,12 +253,26 @@ class PallasSpmm:
         w = self.layout
         k = x.shape[1]
         call = self._get_call(k)
-        pad = w.x2d_rows * 128 - n
+        x2d_rows = self.x2d_rows_pad if self.blocked else w.x2d_rows
+        pad = x2d_rows * 128 - n
         xt = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
-        xt = xt.reshape(w.x2d_rows, 128, k).transpose(2, 0, 1)  # (k, rows, 128)
-        y = call(arrs["wr"], arrs["ob"], xt, arrs["val"], arrs["lcol"])
+        xt = xt.reshape(x2d_rows, 128, k).transpose(2, 0, 1)  # (k, rows, 128)
+        if self.blocked:
+            parts = [
+                call(wr, ob,
+                     jax.lax.slice_in_dim(xt, lo, lo + self.win, axis=1),
+                     val, lcol)
+                for wr, ob, val, lcol, lo in zip(
+                    arrs["wr"], arrs["ob"], arrs["val"], arrs["lcol"],
+                    self._blk_lo)
+            ]
+            y = jnp.concatenate(parts, axis=0)
+            y_rows = w.num_yblks * w.yb_rows
+        else:
+            y = call(arrs["wr"], arrs["ob"], xt, arrs["val"], arrs["lcol"])
+            y_rows = w.y_rows
         # (y_rows, k*sub) -> y[row, kk]; row = blk*8*sub + s*sub + kseg
-        y = y.reshape(w.y_rows, k, w.sub).transpose(0, 2, 1)
+        y = y.reshape(y_rows, k, w.sub).transpose(0, 2, 1)
         return y.reshape(-1, k)[:m].astype(self.dtype)
 
     def apply_traced(self, x):

@@ -119,7 +119,8 @@ class SpmmPlan:
             try:
                 from .kernels.spmm_pallas import PallasSpmm
 
-                self._pallas = PallasSpmm(a, value_dtype=value_dtype)
+                self._pallas = PallasSpmm(a, value_dtype=value_dtype,
+                                          k_hint=k_hint or 8)
                 self.method = "pallas"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
@@ -165,7 +166,8 @@ class SpmmPlan:
         elif method == "pallas":
             from .kernels.spmm_pallas import PallasSpmm
 
-            self._pallas = PallasSpmm(a, value_dtype=value_dtype)
+            self._pallas = PallasSpmm(a, value_dtype=value_dtype,
+                                      k_hint=k_hint or 8)
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         elif method == "bsr_pallas":
             from .kernels.spmm_bsr_pallas import PallasSpmmBsr
@@ -336,25 +338,37 @@ class SpmmPlan:
         is therefore the SAME transposed kernel re-planned for this k (it
         stays at the DMA roofline — measured 109% of triad on consph K=32
         row-split vs 63.9% for the (rows, K) kernel the old chain degraded
-        to; VERDICT r1 item 2). Then (rows, K) BSR, then the XLA heuristic."""
+        to; VERDICT r1 item 2). Then (rows, K) BSR, then w-SELL re-planned
+        for this k, then PSEG, then the XLA heuristic — the chain never
+        rebuilds the failing method at the same k (would recurse)."""
         kp = -(-k // 8) * 8
         fb = self._fb.get(kp)
-        if (fb is None and self.method == "bsr_pallas_t"
-                and getattr(self._pallas, "_kp_built", None) != kp):
-            # (skip when already built for this k — then the failure wasn't
-            # the range split, and rebuilding identically would recurse)
+        if fb is not None:
+            return fb
+        built_kp = getattr(self._pallas, "_kp_built", None) \
+            if self.method in ("pallas", "bsr_pallas_t") else None
+        candidates = []
+        if self.method == "bsr_pallas_t":
+            if built_kp != kp:
+                candidates.append(("bsr_pallas_t", {"k_hint": k}))
+            candidates.append(("bsr_pallas", {}))
+        if self.method in ("bsr_pallas_t", "bsr_pallas") or (
+                self.method == "pallas" and built_kp != kp):
+            candidates.append(("pallas", {"k_hint": k}))
+        if self.method != "pseg":
+            candidates.append(("pseg", {}))
+        for meth, kw in candidates:
             try:
-                fb = SpmmPlan(self._csr, "bsr_pallas_t",
-                              value_dtype=self._value_dtype, k_hint=k)
-            except ValueError:
-                fb = None
-        if fb is None and self.method == "bsr_pallas_t":
-            # (only from the transposed plan — a bsr_pallas plan falling
-            # back to another bsr_pallas plan would recurse forever)
-            try:
-                fb = SpmmPlan(self._csr, "bsr_pallas",
-                              value_dtype=self._value_dtype)
-            except ValueError:
+                fb = SpmmPlan(self._csr, meth,
+                              value_dtype=self._value_dtype, **kw)
+                # fire the per-k guards now so a candidate that would fail
+                # at call time is skipped here instead
+                if meth == "bsr_pallas_t":
+                    fb._pallas._get_calls(k)
+                elif meth != "pseg":
+                    fb._pallas._get_call(k)
+                break
+            except (ValueError, RuntimeError):
                 fb = None
         if fb is None:
             fb = SpmmPlan(self._csr, self._xla_heuristic(self._csr))

@@ -257,6 +257,18 @@ def _finalize_rounds(val, lcol, wrow, obase, *, m, n, nnz, dtype,
     tile_first = None
     yb_rows = 0
     if yblocks > 0:
+        # tile-tail pad rounds (between a block's padded runs and its whole-
+        # tile boundary) default to wrow 0; point them at the block's LAST
+        # real window instead so a per-block x-window [min(wrow), max(wrow)+
+        # nwin) stays tight — the windowed-x SpMM mode slices x per block
+        # from that span (pad rounds are all-zero val, any in-range window
+        # is correct).
+        for g in range(num_yblks):
+            b0 = int(yb_base[g])
+            nreal = int(yb_rounds[g])
+            btot = int(yb_round_total[g])
+            if 0 < nreal < btot:
+                wrow2[b0 + nreal: b0 + btot] = wrow2[b0 + nreal - 1]
         tile_yblk = np.repeat(np.arange(num_yblks, dtype=np.int64), yb_tiles)
         tile_first = np.zeros(T, dtype=np.int64)
         tile_first[np.concatenate([[0], np.cumsum(yb_tiles)[:-1]])] = 1

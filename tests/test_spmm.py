@@ -170,6 +170,34 @@ def test_spmm_bsr_t_unified_range_shapes(monkeypatch):
     assert rel_err(np.asarray(p2.apply_traced(jnp.asarray(x))), ref) < 2e-5
 
 
+def test_spmm_pallas_blocked_windowed_x(monkeypatch):
+    # when Xt (k, x2d_rows, 128) busts the whole-VMEM limit the w-SELL SpMM
+    # switches to blocked-y + windowed-x: one pallas_call per y block over a
+    # per-block SLICE of Xt (band locality keeps the window narrow) — the
+    # path fem-band-1M K=8 needs instead of the 569 ms XLA ell fallback
+    from sblas.ops.kernels import spmm_pallas as mod
+
+    a = datasets.random_csr(6000, 6000, 30, bandwidth=300, seed=3,
+                            dtype=np.float32)
+    x = np.random.default_rng(5).standard_normal((6000, 8)).astype(np.float32)
+    ref = spmm_golden(a, x)
+    monkeypatch.setattr(mod, "_VMEM_XT_LIMIT", 120 * 1024)
+    monkeypatch.setattr(mod, "_YBLOCKS", 8)
+    p = mod.PallasSpmm(a, k_hint=8)
+    assert p.blocked and p.layout.num_yblks > 1
+    assert p.win * 128 < a.shape[1]     # genuinely windowed, not whole-x
+    assert rel_err(np.asarray(p.apply_traced(jnp.asarray(x))), ref) < 2e-5
+    # a second k reuses the same windows
+    x5 = np.random.default_rng(6).standard_normal((6000, 5)).astype(
+        np.float32)
+    assert rel_err(np.asarray(p.apply_traced(jnp.asarray(x5))),
+                   spmm_golden(a, x5)) < 2e-5
+    # scattered columns must refuse (window would span all of x)
+    b = datasets.random_csr(6000, 6000, 4, seed=9, dtype=np.float32)
+    with pytest.raises(ValueError):
+        mod.PallasSpmm(b, k_hint=8, min_fill=0.0)
+
+
 def test_spmm_bsr_pallas_t_vmem_guard_falls_back():
     # Xt whole-in-VMEM past the compile ceiling (e13b/e13c) must refuse
     # per-K, and __call__ must degrade to a REBUILT transposed plan in
