@@ -151,6 +151,7 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
         # scattered fast path: iterate in hub-relabeled space (same
         # precedent as bench_spmv/bench_sptrsv; noted in the record)
         ps = plan._pallas
+        extra["kres"] = bool(getattr(ps, "_kres", False))
         x0 = x0[jnp.asarray(ps.colperm), :]
         extra["permutes"] = "amortized (hub-relabeled space)"
 

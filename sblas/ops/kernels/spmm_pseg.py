@@ -24,6 +24,14 @@ from ...formats import CSR
 from ...retile_pseg import pack_pseg, pack_pseg_hybrid, SUBLANES, LANES
 from .spmv_pseg import hub_relabel, split_heavy_rows
 
+# k-resident executor geometry: output y-group block (kc * _BPG blocks of 8
+# sublane-rows) ~8 MB and tail-Xt chunk (kc, _CH, 128) ~1 MB (x2 pipeline
+# buffers) together stay under the measured 14.5 MiB VMEM compile ceiling
+# (spmm_bsr_pallas._VMEM_T_LIMIT) with th=256 schedule tiles.
+_BPG = 256          # 1024-row blocks per y group
+_CH = 256           # x2d panels per streamed tail-Xt chunk (multiple of 16)
+_SMEM_ROUND_CAP = 150_000   # rounds; ~1.2 MB of (wr, ob) prefetch scalars
+
 
 def _kernel(th, kc, y_rows, tail: bool = False):
     ns = th // SUBLANES
@@ -73,12 +81,159 @@ def _kernel(th, kc, y_rows, tail: bool = False):
     return kern
 
 
+def _regroup_kres(w, bpg: int, ch: int):
+    """Re-sort + pad the hybrid PSEG schedule for the k-resident executor.
+
+    Output y is processed in GROUPS of ``bpg`` 1024-row blocks (so kc=8 RHS
+    planes of one group fit VMEM at any m) and tail x is streamed in ``ch``
+    -panel chunks; a tile must therefore be homogeneous in (group, chunk,
+    hub/tail).  Rounds are stably sorted by group (hub) / (group, chunk)
+    (tail) — the packer's intra-segment order is irrelevant because every
+    round only accumulates into its own (block, ts) slab — and each segment
+    is padded with zero rounds to a whole tile.  Tail ``wrow`` is localized
+    to its chunk (w - ck*ch, still a multiple of 16 — the Mosaic dynamic
+    sublane-slice alignment rule, retile_pseg.py).  Every group gets at
+    least one tile in BOTH streams so every output block is zero-initialized
+    and written exactly once (pallas revisit semantics).
+    """
+    ns = w.th // SUBLANES
+    nrounds = len(w.round_wrow)
+    h0 = w.n_hub_rounds if w.n_hub_rounds >= 0 else nrounds
+    nz = (w.val != 0).reshape(nrounds, -1).any(axis=1)
+    num_blocks = w.y_rows // SUBLANES
+    G = -(-num_blocks // bpg)
+    xrows_pad = -(-w.x2d_rows // ch) * ch
+
+    wrow_p = np.append(w.round_wrow, 0).astype(np.int64)
+    oblk_p = np.append(w.round_oblk, 0).astype(np.int64)
+    # one shared pad round at index ``nrounds`` (hoisted: these are full
+    # copies of the ~100s-of-MB schedule at web-graph scale)
+    valp = np.vstack([w.val, np.zeros((SUBLANES, LANES), w.val.dtype)])
+    lcolp = np.vstack([w.lcol, np.zeros((SUBLANES, LANES), w.lcol.dtype)])
+    tsbp = np.vstack([w.tsb, np.zeros((SUBLANES, LANES), w.tsb.dtype)])
+
+    def build(r_idx, with_chunk):
+        g = oblk_p[r_idx] // bpg
+        if with_chunk:
+            ck = wrow_p[r_idx] // ch
+            order = np.argsort(g * (xrows_pad // ch) + ck, kind="stable")
+        else:
+            ck = np.zeros(len(r_idx), dtype=np.int64)
+            order = np.argsort(g, kind="stable")
+        r_idx, g, ck = r_idx[order], g[order], ck[order]
+        segs = []                    # (g, ck, padded round-index array)
+        key = g * (1 << 32) + ck
+        if len(key):
+            bounds = np.flatnonzero(
+                np.concatenate([[True], key[1:] != key[:-1]]))
+            bounds = np.append(bounds, len(key))
+        else:
+            bounds = np.zeros(1, dtype=np.int64)
+        covered = set()
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            pad = (-(s1 - s0)) % ns
+            arr = np.concatenate(
+                [r_idx[s0:s1], np.full(pad, nrounds, dtype=np.int64)])
+            segs.append((int(g[s0]), int(ck[s0]), arr))
+            covered.add(int(g[s0]))
+        for gg in range(G):          # empty groups still need one pad tile
+            if gg not in covered:
+                segs.append((gg, 0, np.full(ns, nrounds, dtype=np.int64)))
+        # group order must be non-decreasing over segments (revisit rule)
+        segs.sort(key=lambda s: (s[0], s[1]))
+        seg_g = [s[0] for s in segs]
+        seg_ck = [s[1] for s in segs]
+        seg_len = [len(s[2]) for s in segs]
+        src = np.concatenate([s[2] for s in segs])
+        tiles = len(src) // ns
+        rows = (src[:, None] * SUBLANES
+                + np.arange(SUBLANES)[None, :]).ravel()
+        ck_r = np.repeat(np.asarray(seg_ck, np.int64),
+                         np.asarray(seg_len))
+        g_r = np.repeat(np.asarray(seg_g, np.int64),
+                        np.asarray(seg_len))
+        wr = wrow_p[src] - ck_r * ch          # chunk-local (pads -> 0)
+        ob = oblk_p[src] - g_r * bpg          # group-local (pads -> 0)
+        ob[src == nrounds] = 0
+        wr[src == nrounds] = 0
+        i32 = np.int32
+        return {
+            "val": valp[rows], "lcol": lcolp[rows], "tsb": tsbp[rows],
+            "wr": wr.astype(i32), "ob": ob.astype(i32),
+            "yg": g_r[::ns].astype(i32), "ck": ck_r[::ns].astype(i32),
+            "tiles": tiles,
+        }
+
+    hub = build(np.flatnonzero(nz[:h0]), with_chunk=False)
+    tail = build(h0 + np.flatnonzero(nz[h0:]), with_chunk=True)
+    return hub, tail, G, xrows_pad
+
+
+def _kernel_kres(th, kc, gy_rows, tail: bool):
+    """k-resident round body: identical math to ``_kernel`` but scattering
+    into a GROUP-local (kc*gy_rows, 128) output block that is re-zeroed when
+    the per-tile group scalar changes (consecutive revisit semantics)."""
+    ns = th // SUBLANES
+
+    def kern(wr_ref, ob_ref, yg_ref, *rest):
+        if tail:
+            ck_ref, xt_ref, val_ref, col_ref, tsb_ref, out_ref = rest
+            del ck_ref   # consumed by the Xt BlockSpec index_map
+        else:
+            xt_ref, val_ref, col_ref, tsb_ref, out_ref = rest
+        t = pl.program_id(0)
+        prev = yg_ref[jnp.maximum(t - 1, 0)]
+        first = jnp.logical_or(t == 0, yg_ref[t] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for i in range(ns):
+            w = wr_ref[t * ns + i]
+            b = ob_ref[t * ns + i]
+            v = val_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(
+                jnp.float32)
+            c = col_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(jnp.int32)
+            tsb = tsb_ref[i * SUBLANES:(i + 1) * SUBLANES, :].astype(
+                jnp.int32)
+            c0 = jnp.minimum(c, 127)
+            c1 = jnp.maximum(c - 128, 0)
+            sel = c < 128
+            masks = [(tsb == ts).astype(jnp.float32)
+                     for ts in range(SUBLANES)]
+            for kk in range(kc):
+                if tail:
+                    x8a = xt_ref[kk, pl.ds(w, SUBLANES), :]
+                    x8b = xt_ref[kk, pl.ds(w + SUBLANES, SUBLANES), :]
+                    g0 = jnp.take_along_axis(x8a, c0, axis=1)
+                    g1 = jnp.take_along_axis(x8b, c1, axis=1)
+                else:
+                    xw = xt_ref[kk, pl.ds(w, 1), :]
+                    table = jnp.broadcast_to(xw, (SUBLANES, 128))
+                    xw1 = xt_ref[kk, pl.ds(w + 1, 1), :]
+                    table1 = jnp.broadcast_to(xw1, (SUBLANES, 128))
+                    g0 = jnp.take_along_axis(table, c0, axis=1)
+                    g1 = jnp.take_along_axis(table1, c1, axis=1)
+                g = jnp.where(sel, g0, g1)
+                p = v * g
+                parts = [jnp.sum(p * mk, axis=0, keepdims=True)
+                         for mk in masks]
+                outb = jnp.concatenate(parts, axis=0)      # (8, 128)
+                slab = kk * gy_rows + b * SUBLANES
+                cur = out_ref[pl.ds(slab, SUBLANES), :]
+                out_ref[pl.ds(slab, SUBLANES), :] = cur + outb
+
+    return kern
+
+
 class PallasSpmmScattered:
     """PSEG Pallas SpMM executor with hub relabeling (single chip)."""
 
     def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
                  reorder: bool = True, value_dtype=None,
-                 hybrid: bool | None = None):
+                 hybrid: bool | None = None, k_hint: int | None = None,
+                 kres: bool | None = None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype
@@ -123,26 +278,58 @@ class PallasSpmmScattered:
         inv_row = np.empty(m, dtype=np.int64)
         inv_row[rowperm] = np.arange(m)
         self._rowperm_inv = jnp.asarray(inv_row.astype(np.int32))
+        # k-resident mode (round 6): when the whole-VMEM kc chunk is smaller
+        # than the requested k (kc=1 at m=1M meant k full schedule passes =
+        # 8.3x SpMV on powerlaw-1M), regroup the schedule by (y group, Xt
+        # chunk) so ONE pass serves all kc<=8 RHS: the output y-group block
+        # rides a per-tile prefetch scalar, tail Xt streams in _CH-panel
+        # chunks. Requires the hybrid pack (hub windows must sit in chunk 0).
+        kh = min(k_hint or 8, SUBLANES)
+        if kres is None:
+            kres = (w.n_hub_rounds >= 0 and kh > self._k_chunk()
+                    and len(w.round_wrow) <= _SMEM_ROUND_CAP)
+        self._kres = bool(kres)
+        if self._kres:
+            if w.n_hub_rounds < 0:
+                raise ValueError("k-resident PSEG SpMM needs a hybrid pack")
+            hub, tail, G, xrp = _regroup_kres(w, _BPG, _CH)
+            self._kres_geo = (G, _BPG * SUBLANES, xrp)
+            self._kh_tiles = hub.pop("tiles")
+            self._kt_tiles = tail.pop("tiles")
+            hub["val"] = hub["val"].astype(value_dtype)
+            tail["val"] = tail["val"].astype(value_dtype)
+            self._kh = {kk: jnp.asarray(v) for kk, v in hub.items()}
+            self._kt = {kk: jnp.asarray(v) for kk, v in tail.items()}
+            # one pass serves kc RHS: schedule streamed once + tail Xt
+            # re-staged per visited chunk + y group blocks out
+            self.bytes_per_iter = (
+                (self._kh_tiles + self._kt_tiles) * w.th * LANES
+                * (value_dtype.itemsize + 4)
+                + len(np.unique(
+                    (tail["ck"].astype(np.int64) << 32) + tail["yg"]))
+                * _CH * LANES * 4 * kh
+                + G * kh * _BPG * SUBLANES * LANES * 4)
         # hybrid stream: rounds [0, n_hub) are win2 hub tiles, the rest
         # panel-bound tail tiles (two branchless calls; see spmv_pseg)
         ns = w.th // SUBLANES
-        if w.n_hub_rounds >= 0:
-            self._tiles_h = max(w.n_hub_rounds // ns, 1)
-        else:
-            self._tiles_h = w.num_tiles
-        self._tiles_t = w.num_tiles - self._tiles_h
-        hr = self._tiles_h * w.th
-        self._val = jnp.asarray(w.val[:hr]).astype(value_dtype)
-        self._lcol = jnp.asarray(w.lcol[:hr])
-        self._tsb = jnp.asarray(w.tsb[:hr])
-        self._wr = jnp.asarray(w.round_wrow[: self._tiles_h * ns])
-        self._ob = jnp.asarray(w.round_oblk[: self._tiles_h * ns])
-        if self._tiles_t:
-            self._val_t = jnp.asarray(w.val[hr:]).astype(value_dtype)
-            self._lcol_t = jnp.asarray(w.lcol[hr:])
-            self._tsb_t = jnp.asarray(w.tsb[hr:])
-            self._wr_t = jnp.asarray(w.round_wrow[self._tiles_h * ns:])
-            self._ob_t = jnp.asarray(w.round_oblk[self._tiles_h * ns:])
+        if not self._kres:
+            if w.n_hub_rounds >= 0:
+                self._tiles_h = max(w.n_hub_rounds // ns, 1)
+            else:
+                self._tiles_h = w.num_tiles
+            self._tiles_t = w.num_tiles - self._tiles_h
+            hr = self._tiles_h * w.th
+            self._val = jnp.asarray(w.val[:hr]).astype(value_dtype)
+            self._lcol = jnp.asarray(w.lcol[:hr])
+            self._tsb = jnp.asarray(w.tsb[:hr])
+            self._wr = jnp.asarray(w.round_wrow[: self._tiles_h * ns])
+            self._ob = jnp.asarray(w.round_oblk[: self._tiles_h * ns])
+            if self._tiles_t:
+                self._val_t = jnp.asarray(w.val[hr:]).astype(value_dtype)
+                self._lcol_t = jnp.asarray(w.lcol[hr:])
+                self._tsb_t = jnp.asarray(w.tsb[hr:])
+                self._wr_t = jnp.asarray(w.round_wrow[self._tiles_h * ns:])
+                self._ob_t = jnp.asarray(w.round_oblk[self._tiles_h * ns:])
         self._srow = jnp.asarray(w.s_rows)
         self._scol = jnp.asarray(w.s_cols)
         self._sval = jnp.asarray(w.s_vals)
@@ -186,22 +373,83 @@ class PallasSpmmScattered:
         self._calls[key] = call
         return call
 
+    def _get_call_kres(self, kc: int, num_tiles: int, *, tail: bool):
+        key = (kc, tail, "kres")
+        if key in self._calls:
+            return self._calls[key]
+        w = self.layout
+        from ...utils.backend import on_cpu
+
+        G, gy, xrp = self._kres_geo
+        tile = pl.BlockSpec((w.th, LANES), lambda t, *s: (t, 0))
+        if tail:
+            in_specs = [
+                # streamed tail-Xt chunk: per-TILE prefetch scalar picks the
+                # _CH-panel stage (same pattern as spmm_bsr_pallas streamed)
+                pl.BlockSpec((kc, _CH, LANES),
+                             lambda t, wr, ob, yg, ck: (0, ck[t], 0)),
+                tile, tile, tile,
+            ]
+            nsp = 4
+        else:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),  # hub Xt
+                        tile, tile, tile]
+            nsp = 3
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsp,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            # y-group block rides the per-tile group scalar; tiles are
+            # group-sorted so each block is visited once, consecutively
+            out_specs=pl.BlockSpec((kc * gy, LANES),
+                                   lambda t, wr, ob, yg, *rest: (yg[t], 0)),
+        )
+        call = pl.pallas_call(
+            _kernel_kres(w.th, kc, gy, tail=tail),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((G * kc * gy, LANES),
+                                           jnp.float32),
+            interpret=on_cpu(),
+        )
+        self._calls[key] = call
+        return call
+
     def device_arrays(self):
-        d = {"wr": self._wr, "ob": self._ob, "val": self._val,
-             "lcol": self._lcol, "tsb": self._tsb,
-             "srow": self._srow, "scol": self._scol, "sval": self._sval,
+        d = {"srow": self._srow, "scol": self._scol, "sval": self._sval,
              "colperm": self._colperm, "rowinv": self._rowperm_inv}
-        if self._tiles_t:
-            d.update({"wr_t": self._wr_t, "ob_t": self._ob_t,
-                      "val_t": self._val_t, "lcol_t": self._lcol_t,
-                      "tsb_t": self._tsb_t})
+        if self._kres:
+            d.update({f"kh_{kk}": v for kk, v in self._kh.items()})
+            d.update({f"kt_{kk}": v for kk, v in self._kt.items()})
+        else:
+            d.update({"wr": self._wr, "ob": self._ob, "val": self._val,
+                      "lcol": self._lcol, "tsb": self._tsb})
+            if self._tiles_t:
+                d.update({"wr_t": self._wr_t, "ob_t": self._ob_t,
+                          "val_t": self._val_t, "lcol_t": self._lcol_t,
+                          "tsb_t": self._tsb_t})
         if self.n_virtual:
             d["vown"] = self._vown
         return d
 
+    def _epilogue(self, y, arrs, x_perm, k0, kw):
+        """Stragglers + virtual-row merge + padded-row slice; y is
+        (kc, y_rows*128) in hub-relabeled row space."""
+        m = self.shape[0]
+        y = y[:kw]
+        if self.layout.n_stragglers:
+            y = y.at[:, arrs["srow"]].add(
+                arrs["sval"][None, :]
+                * x_perm[arrs["scol"], k0:k0 + kw].T)
+        yk = y[:, :m]
+        if self.n_virtual:
+            yk = yk.at[:, arrs["vown"]].add(y[:, m:self._m2])
+        return yk.T
+
     def apply_permuted(self, arrs, x_perm):
         """Y_perm = A_perm @ X_perm, X/Y in hub-relabeled space."""
-        m, n = self.shape
+        if self._kres:
+            return self._apply_kres(arrs, x_perm)
+        n = self.shape[1]
         w = self.layout
         k = x_perm.shape[1]
         kc = self._k_chunk()
@@ -221,15 +469,36 @@ class PallasSpmmScattered:
                 y = y + self._get_call(kc, self._tiles_t, tail=True)(
                     arrs["wr_t"], arrs["ob_t"], xt,
                     arrs["val_t"], arrs["lcol_t"], arrs["tsb_t"])
-            y = y.reshape(kc, w.y_rows * 128)[:kw]       # (kw, m2+pad)
-            if w.n_stragglers:
-                y = y.at[:, arrs["srow"]].add(
-                    arrs["sval"][None, :]
-                    * x_perm[arrs["scol"], k0:k0 + kw].T)
-            yk = y[:, :m]
-            if self.n_virtual:
-                yk = yk.at[:, arrs["vown"]].add(y[:, m:self._m2])
-            cols.append(yk.T)
+            y = y.reshape(kc, w.y_rows * 128)       # (kc, m2+pad)
+            cols.append(self._epilogue(y, arrs, x_perm, k0, kw))
+        y_perm = jnp.concatenate(cols, axis=1)           # (m, k)
+        return y_perm.astype(self.dtype)
+
+    def _apply_kres(self, arrs, x_perm):
+        """One schedule pass serves all kc<=8 RHS (k-resident mode)."""
+        n = self.shape[1]
+        G, gy, xrp = self._kres_geo
+        k = x_perm.shape[1]
+        kc = min(k, SUBLANES)
+        pad = xrp * 128 - n
+        cols = []
+        for k0 in range(0, k, kc):
+            kw = min(kc, k - k0)
+            xs = x_perm[:, k0:k0 + kw].astype(jnp.float32)
+            if kw < kc:
+                xs = jnp.pad(xs, ((0, 0), (0, kc - kw)))
+            xt = jnp.pad(xs, ((0, pad), (0, 0)))
+            xt = xt.reshape(xrp, 128, kc).transpose(2, 0, 1)
+            xt_hub = xt[:, :SUBLANES, :]    # hub windows sit in panels 0..2
+            y = self._get_call_kres(kc, self._kh_tiles, tail=False)(
+                arrs["kh_wr"], arrs["kh_ob"], arrs["kh_yg"], xt_hub,
+                arrs["kh_val"], arrs["kh_lcol"], arrs["kh_tsb"])
+            y = y + self._get_call_kres(kc, self._kt_tiles, tail=True)(
+                arrs["kt_wr"], arrs["kt_ob"], arrs["kt_yg"], arrs["kt_ck"],
+                xt, arrs["kt_val"], arrs["kt_lcol"], arrs["kt_tsb"])
+            y = y.reshape(G, kc, gy * 128).transpose(1, 0, 2)
+            y = y.reshape(kc, G * gy * 128)
+            cols.append(self._epilogue(y, arrs, x_perm, k0, kw))
         y_perm = jnp.concatenate(cols, axis=1)           # (m, k)
         return y_perm.astype(self.dtype)
 

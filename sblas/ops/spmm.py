@@ -130,7 +130,8 @@ class SpmmPlan:
             from .kernels.spmm_pseg import PallasSpmmScattered
 
             try:
-                self._pallas = PallasSpmmScattered(a, value_dtype=value_dtype)
+                self._pallas = PallasSpmmScattered(a, value_dtype=value_dtype,
+                                                   k_hint=k_hint)
                 self.method = "pseg"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
@@ -356,7 +357,7 @@ class SpmmPlan:
                 self.method == "pallas" and built_kp != kp):
             candidates.append(("pallas", {"k_hint": k}))
         if self.method != "pseg":
-            candidates.append(("pseg", {}))
+            candidates.append(("pseg", {"k_hint": k}))
         for meth, kw in candidates:
             try:
                 fb = SpmmPlan(self._csr, meth,

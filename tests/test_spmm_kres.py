@@ -1,0 +1,108 @@
+"""k-resident PSEG SpMM (one schedule pass serves all kc<=8 RHS).
+
+Geometry is shrunk (_BPG=2 blocks per y group, _CH=16 panels per tail-Xt
+chunk, th=64) so a few-thousand-row matrix exercises every boundary the
+full-size executor meets at m=1M: multiple y groups, group transitions in
+both the hub and tail streams, chunk streaming, empty groups, and pad
+tiles.  Reference: scipy dense product (golden.py precedent).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import sblas.ops.kernels.spmm_pseg as spmm_pseg
+from sblas.formats import CSR
+
+
+@pytest.fixture(autouse=True)
+def tiny_geometry(monkeypatch):
+    monkeypatch.setattr(spmm_pseg, "_BPG", 2)
+    monkeypatch.setattr(spmm_pseg, "_CH", 16)
+
+
+def _powerlaw(rng, m, n, nnz, hub_frac=0.4, hub_cols=200):
+    rows = rng.integers(0, m, nnz)
+    cols = np.where(rng.random(nnz) < hub_frac,
+                    rng.integers(0, min(hub_cols, n), nnz),
+                    rng.integers(0, n, nnz))
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    return a
+
+
+def _check(ex, a_sp, k, rng, tol=2e-5):
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((a_sp.shape[1], k)).astype(np.float32)
+    y = np.asarray(ex.apply_pure(ex.device_arrays(), jnp.asarray(x)))
+    ref = a_sp @ x
+    err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30)
+    assert err < tol, err
+
+
+def test_kres_groups_and_chunks():
+    rng = np.random.default_rng(0)
+    a_sp = _powerlaw(rng, 5000, 10000, 30000)
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True)
+    assert ex._kres
+    assert ex._kres_geo[0] > 1          # multiple y groups
+    assert ex._kt["ck"].max() > 0       # multiple tail-Xt chunks
+    _check(ex, a_sp, 8, rng)
+
+
+@pytest.mark.parametrize("k", [1, 3, 13])
+def test_kres_odd_k(k):
+    rng = np.random.default_rng(1)
+    a_sp = _powerlaw(rng, 3000, 6000, 15000)
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True)
+    assert ex._kres
+    _check(ex, a_sp, k, rng)
+
+
+def test_kres_empty_groups():
+    # all rows in blocks 0 and 4 -> groups 1 (blocks 2-3) emit pad tiles
+    rng = np.random.default_rng(2)
+    nnz = 8000
+    rows = np.where(rng.random(nnz) < 0.5,
+                    rng.integers(0, 1024, nnz),
+                    rng.integers(4096, 5000, nnz))
+    cols = rng.integers(0, 6000, nnz)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    a_sp = sp.coo_matrix((vals, (rows, cols)), shape=(5000, 6000)).tocsr()
+    a_sp.sum_duplicates()
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False, kres=True)
+    assert ex._kres
+    _check(ex, a_sp, 8, rng)
+
+
+def test_kres_hub_only():
+    # every column inside the hub panels -> tail stream is all pad tiles
+    rng = np.random.default_rng(3)
+    a_sp = _powerlaw(rng, 3000, 250, 10000, hub_frac=1.0, hub_cols=250)
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False, kres=True)
+    assert ex._kres
+    _check(ex, a_sp, 8, rng)
+
+
+def test_kres_matches_standard_path():
+    rng = np.random.default_rng(4)
+    a_sp = _powerlaw(rng, 4000, 8000, 20000)
+    a = CSR.from_scipy(a_sp)
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((8000, 8)).astype(np.float32)
+    ex_k = spmm_pseg.PallasSpmmScattered(a, hybrid=True, k_hint=8, th=64, kres=True)
+    ex_s = spmm_pseg.PallasSpmmScattered(a, hybrid=True, th=64, kres=False)
+    assert ex_k._kres and not ex_s._kres
+    yk = np.asarray(ex_k.apply_pure(ex_k.device_arrays(), jnp.asarray(x)))
+    ys = np.asarray(ex_s.apply_pure(ex_s.device_arrays(), jnp.asarray(x)))
+    ref = a_sp @ x
+    scale = np.abs(ref).max()
+    assert np.abs(yk - ref).max() / scale < 2e-5
+    assert np.abs(yk - ys).max() / scale < 2e-5
