@@ -225,13 +225,16 @@ def run_large(emit):
 
     cases = [
         # FEM-style band locality: ~8.5 nnz per 2-panel window keeps
-        # w-SELL fill healthy at deg 100
-        ("fem-band-1M-100M", lambda: datasets.random_csr(
-            1_000_000, 1_000_000, 100, bandwidth=1500, seed=7,
+        # w-SELL fill healthy at deg 112 (112e6 nnz: the round-5 deg-100
+        # cases landed at 98.3M/84.7M, just UNDER the >=1e8 criterion of
+        # VERDICT r1 item 4)
+        ("fem-band-1M-112M", lambda: datasets.random_csr(
+            1_000_000, 1_000_000, 112, bandwidth=1500, seed=7,
             dtype=np.float32)),
-        # power-law hub structure at the same scale (PSEG path)
-        ("powerlaw-1M-100M", lambda: datasets.powerlaw_graph(
-            1_000_000, avg_deg=100, seed=7, dtype=np.float32)),
+        # power-law hub structure at the same scale (PSEG path); avg_deg
+        # 120 nets ~102M after dedup
+        ("powerlaw-1M-102M", lambda: datasets.powerlaw_graph(
+            1_000_000, avg_deg=120, seed=7, dtype=np.float32)),
     ]
     for name, gen in cases:
         try:
