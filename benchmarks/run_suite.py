@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--large", action="store_true",
                     help="only the >=100M-nnz single-chip records "
                          "(VERDICT r1 item 4)")
+    ap.add_argument("--web", action="store_true",
+                    help="with --large: add the FULL-scale uk-2002 "
+                         "emulation (18.5M rows, 298M nnz; ~1h gen+pack "
+                         "cold)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--f64-only", action="store_true",
                     help="run just the fp64 record (x64 flag on; used as a "
@@ -80,7 +84,7 @@ def main():
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
 
     if args.large:
-        run_large(emit)
+        run_large(emit, web=args.web)
         print(f"# wrote {len(records)} records to {out}", flush=True)
         return
 
@@ -208,7 +212,7 @@ def main():
     print(f"# wrote {len(records)} records to {out}", flush=True)
 
 
-def run_large(emit):
+def run_large(emit, web: bool = False):
     """>=100M-nnz single-chip records (VERDICT r1 item 4; SURVEY.md §7 hard
     parts 1 & 4).
 
@@ -236,6 +240,13 @@ def run_large(emit):
         ("powerlaw-1M-102M", lambda: datasets.powerlaw_graph(
             1_000_000, avg_deg=120, seed=7, dtype=np.float32)),
     ]
+    if web:
+        # FULL-scale uk-2002 emulation: 18.5M rows — x2d/y2d are 74 MB
+        # each, far past the whole-VMEM executors, so SpMV routes through
+        # pseg_big (y-grouped, chunk-streamed; spmv_pseg round 6) and SpMM
+        # through the multi-range k-resident executor
+        cases.append(("uk-2002-full", lambda: datasets.emulate(
+            "uk-2002", scale=1.0, dtype=np.float32)))
     for name, gen in cases:
         try:
             t0 = _t.time()

@@ -24,13 +24,53 @@ from ...formats import CSR
 from ...retile_pseg import pack_pseg, pack_pseg_hybrid, SUBLANES, LANES
 from .spmv_pseg import hub_relabel, split_heavy_rows
 
-# k-resident executor geometry: output y-group block (kc * _BPG blocks of 8
-# sublane-rows) ~8 MB and tail-Xt chunk (kc, _CH, 128) ~1 MB (x2 pipeline
+# k-resident executor geometry defaults: output y-group block (kc * _BPG
+# blocks of 8 sublane-rows) and tail-Xt chunk (kc, _CH, 128) (x2 pipeline
 # buffers) together stay under the measured 14.5 MiB VMEM compile ceiling
-# (spmm_bsr_pallas._VMEM_T_LIMIT) with th=256 schedule tiles.
-_BPG = 256          # 1024-row blocks per y group
+# (spmm_bsr_pallas._VMEM_T_LIMIT) with th=256 schedule tiles.  The real
+# executor sizes (bpg, ch, kc) adaptively per matrix (_pick_kres_geometry):
+# every (y group, Xt chunk) transition pads the schedule to a whole tile,
+# so G*C must stay small relative to the round count.
+_BPG = 256          # 1024-row blocks per y group (test/default geometry)
 _CH = 256           # x2d panels per streamed tail-Xt chunk (multiple of 16)
+_KRES_VMEM_BUDGET = int(12.5 * (1 << 20))   # out block + 2 Xt chunk buffers
 _SMEM_ROUND_CAP = 150_000   # rounds; ~1.2 MB of (wr, ob) prefetch scalars
+
+
+def _pick_kres_geometry(w, kh: int):
+    """Choose (kc, bpg, ch) for the k-resident executor.
+
+    VMEM holds the y-group block (kc*bpg*4096 B) plus two pipeline buffers
+    of the tail-Xt chunk (2*kc*ch*512 B); under that linear budget the
+    segment count G*C = (blocks/bpg)*(panels/ch) is minimized by splitting
+    the budget evenly between the two (AM-GM).  Each (group, chunk) segment
+    pads to a whole tile, so smaller kc (fewer, larger chunks — more
+    schedule passes) can beat kc=kh on web-scale matrices where G*C
+    explodes; the sweep scores each kc by measured distinct-segment counts
+    on the actual packed streams."""
+    ns = w.th // SUBLANES
+    nrounds = len(w.round_wrow)
+    h0 = w.n_hub_rounds if w.n_hub_rounds >= 0 else nrounds
+    num_blocks = max(w.y_rows // SUBLANES, 1)
+    oblk = np.asarray(w.round_oblk, dtype=np.int64)
+    wrow = np.asarray(w.round_wrow, dtype=np.int64)
+    best = None
+    for kc in range(kh, 0, -1):
+        half = _KRES_VMEM_BUDGET // 2
+        bpg = max(half // (kc * SUBLANES * LANES * 4), 1)
+        ch = max((half // (2 * kc * LANES * 4)) // 16 * 16, 16)
+        G = -(-num_blocks // bpg)
+        g_h = oblk[:h0] // bpg
+        g_t = oblk[h0:] // bpg
+        ck_t = wrow[h0:] // ch
+        segs = (len(np.unique(g_h))
+                + len(np.unique((g_t << 32) + ck_t)) + 2 * G)
+        passes = -(-kh // kc)
+        # bytes score: passes over (real rounds + expected pad rounds)
+        score = passes * (nrounds + segs * (ns - 1) / 2)
+        if best is None or score < best[0]:
+            best = (score, kc, bpg, ch)
+    return best[1], best[2], best[3]
 
 
 def _kernel(th, kc, y_rows, tail: bool = False):
@@ -169,6 +209,86 @@ def _regroup_kres(w, bpg: int, ch: int):
     return hub, tail, G, xrows_pad
 
 
+def _split_kres_ranges(hub, tail, G, ns, cap_rounds):
+    """Partition the group sequence into contiguous ranges so that each
+    range's per-stream (wr, ob) prefetch scalars stay under the measured
+    ~1.2 MB SMEM compile ceiling (DESIGN.md round-5 table).  Every range is
+    padded to a COMMON (tile count, group span) so ONE compiled kernel per
+    stream serves all ranges; ranges are cut near even round counts to
+    bound that padding.  Returns (ranges, gspan): ranges is a list of
+    (hub_r, tail_r, g0, g1) with group-LOCAL yg."""
+    cap_tiles = max(cap_rounds // ns, 1)
+    hcnt = np.bincount(hub["yg"], minlength=G).astype(np.int64)
+    tcnt = np.bincount(tail["yg"], minlength=G).astype(np.int64)
+    if int(hcnt.max()) > cap_tiles or int(tcnt.max()) > cap_tiles:
+        raise ValueError("one y group alone exceeds the SMEM round cap")
+    R = int(max(-(-hcnt.sum() // cap_tiles), -(-tcnt.sum() // cap_tiles), 1))
+    soft_h = max(-(-int(hcnt.sum()) // R), 1)
+    soft_t = max(-(-int(tcnt.sum()) // R), 1)
+    cuts = [0]
+    h = t = 0
+    for g in range(G):
+        if (h + hcnt[g] > soft_h or t + tcnt[g] > soft_t) and g > cuts[-1]:
+            cuts.append(g)
+            h = t = 0
+        h += int(hcnt[g])
+        t += int(tcnt[g])
+    cuts.append(G)
+    spans = list(zip(cuts[:-1], cuts[1:]))
+    gspan = max(g1 - g0 for g0, g1 in spans)
+
+    def tile_span(s, g0, g1):
+        return (int(np.searchsorted(s["yg"], g0)),
+                int(np.searchsorted(s["yg"], g1)))
+
+    max_h = max(hi - lo for lo, hi in (tile_span(hub, g0, g1)
+                                       for g0, g1 in spans))
+    max_t = max(hi - lo for lo, hi in (tile_span(tail, g0, g1)
+                                       for g0, g1 in spans))
+    if max_h > cap_tiles or max_t > cap_tiles:
+        raise ValueError("range splitting could not satisfy the SMEM cap")
+
+    def slice_stream(s, g0, g1, max_tiles, with_chunk):
+        # tiles are group-sorted: the range is one contiguous tile span
+        lo, hi = tile_span(s, g0, g1)
+        pad = max_tiles - (hi - lo)
+        th_rows = ns * SUBLANES
+        out = {
+            "val": np.concatenate(
+                [s["val"][lo * th_rows: hi * th_rows],
+                 np.zeros((pad * th_rows, LANES), s["val"].dtype)]),
+            "lcol": np.concatenate(
+                [s["lcol"][lo * th_rows: hi * th_rows],
+                 np.zeros((pad * th_rows, LANES), s["lcol"].dtype)]),
+            "tsb": np.concatenate(
+                [s["tsb"][lo * th_rows: hi * th_rows],
+                 np.zeros((pad * th_rows, LANES), s["tsb"].dtype)]),
+            "wr": np.concatenate(
+                [s["wr"][lo * ns: hi * ns],
+                 np.zeros(pad * ns, s["wr"].dtype)]),
+            "ob": np.concatenate(
+                [s["ob"][lo * ns: hi * ns],
+                 np.zeros(pad * ns, s["ob"].dtype)]),
+            # pad tiles keep the LAST real group (non-decreasing yg; they
+            # only add zeros) — every group owns >=1 tile, so hi > lo
+            "yg": np.concatenate(
+                [s["yg"][lo:hi] - g0,
+                 np.full(pad, int(s["yg"][hi - 1]) - g0, s["yg"].dtype)]),
+            "tiles": max_tiles,
+        }
+        if with_chunk:
+            out["ck"] = np.concatenate(
+                [s["ck"][lo:hi], np.zeros(pad, s["ck"].dtype)])
+        return out
+
+    ranges = [
+        (slice_stream(hub, g0, g1, max_h, False),
+         slice_stream(tail, g0, g1, max_t, True), g0, g1)
+        for g0, g1 in spans
+    ]
+    return ranges, gspan
+
+
 def _kernel_kres(th, kc, gy_rows, tail: bool):
     """k-resident round body: identical math to ``_kernel`` but scattering
     into a GROUP-local (kc*gy_rows, 128) output block that is re-zeroed when
@@ -233,7 +353,8 @@ class PallasSpmmScattered:
     def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
                  reorder: bool = True, value_dtype=None,
                  hybrid: bool | None = None, k_hint: int | None = None,
-                 kres: bool | None = None):
+                 kres: bool | None = None,
+                 kres_geo: tuple | None = None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         from .spmv_pallas import check_value_dtype
@@ -286,29 +407,43 @@ class PallasSpmmScattered:
         # chunks. Requires the hybrid pack (hub windows must sit in chunk 0).
         kh = min(k_hint or 8, SUBLANES)
         if kres is None:
-            kres = (w.n_hub_rounds >= 0 and kh > self._k_chunk()
-                    and len(w.round_wrow) <= _SMEM_ROUND_CAP)
+            kres = (w.n_hub_rounds >= 0 and kh > self._k_chunk())
         self._kres = bool(kres)
         if self._kres:
             if w.n_hub_rounds < 0:
                 raise ValueError("k-resident PSEG SpMM needs a hybrid pack")
-            hub, tail, G, xrp = _regroup_kres(w, _BPG, _CH)
-            self._kres_geo = (G, _BPG * SUBLANES, xrp)
-            self._kh_tiles = hub.pop("tiles")
-            self._kt_tiles = tail.pop("tiles")
-            hub["val"] = hub["val"].astype(value_dtype)
-            tail["val"] = tail["val"].astype(value_dtype)
-            self._kh = {kk: jnp.asarray(v) for kk, v in hub.items()}
-            self._kt = {kk: jnp.asarray(v) for kk, v in tail.items()}
-            # one pass serves kc RHS: schedule streamed once + tail Xt
-            # re-staged per visited chunk + y group blocks out
-            self.bytes_per_iter = (
-                (self._kh_tiles + self._kt_tiles) * w.th * LANES
-                * (value_dtype.itemsize + 4)
-                + len(np.unique(
-                    (tail["ck"].astype(np.int64) << 32) + tail["yg"]))
-                * _CH * LANES * 4 * kh
-                + G * kh * _BPG * SUBLANES * LANES * 4)
+            ns = w.th // SUBLANES
+            if kres_geo is None:
+                kres_geo = _pick_kres_geometry(w, kh)
+            self._kc, bpg, ch = kres_geo
+            self._ch = ch
+            hub, tail, G, xrp = _regroup_kres(w, bpg, ch)
+            ranges, gspan = _split_kres_ranges(hub, tail, G, ns,
+                                               _SMEM_ROUND_CAP)
+            del hub, tail
+            self._kres_geo = (G, bpg * SUBLANES, xrp, gspan)
+            self._kranges = []
+            tiles_total = 0
+            xt_stages = 0
+            for hub_r, tail_r, g0, g1 in ranges:
+                ht, tt = hub_r.pop("tiles"), tail_r.pop("tiles")
+                tiles_total += ht + tt
+                xt_stages += len(np.unique(
+                    (tail_r["ck"].astype(np.int64) << 32) + tail_r["yg"]))
+                hub_r["val"] = hub_r["val"].astype(value_dtype)
+                tail_r["val"] = tail_r["val"].astype(value_dtype)
+                self._kranges.append((
+                    {kk: jnp.asarray(v) for kk, v in hub_r.items()},
+                    {kk: jnp.asarray(v) for kk, v in tail_r.items()},
+                    ht, tt, g0, g1))
+            # one pass serves kc RHS (ceil(kh/kc) passes for kh): schedule
+            # per pass + tail Xt re-staged per visited (chunk, group) + y
+            # group blocks out
+            passes = -(-kh // self._kc)
+            self.bytes_per_iter = passes * (
+                tiles_total * w.th * LANES * (value_dtype.itemsize + 4)
+                + xt_stages * ch * LANES * 4 * self._kc) \
+                + G * kh * bpg * SUBLANES * LANES * 4
         # hybrid stream: rounds [0, n_hub) are win2 hub tiles, the rest
         # panel-bound tail tiles (two branchless calls; see spmv_pseg)
         ns = w.th // SUBLANES
@@ -380,13 +515,14 @@ class PallasSpmmScattered:
         w = self.layout
         from ...utils.backend import on_cpu
 
-        G, gy, xrp = self._kres_geo
+        G, gy, xrp, gspan = self._kres_geo
         tile = pl.BlockSpec((w.th, LANES), lambda t, *s: (t, 0))
         if tail:
+            ch = self._ch
             in_specs = [
                 # streamed tail-Xt chunk: per-TILE prefetch scalar picks the
-                # _CH-panel stage (same pattern as spmm_bsr_pallas streamed)
-                pl.BlockSpec((kc, _CH, LANES),
+                # ch-panel stage (same pattern as spmm_bsr_pallas streamed)
+                pl.BlockSpec((kc, ch, LANES),
                              lambda t, wr, ob, yg, ck: (0, ck[t], 0)),
                 tile, tile, tile,
             ]
@@ -407,7 +543,7 @@ class PallasSpmmScattered:
         call = pl.pallas_call(
             _kernel_kres(w.th, kc, gy, tail=tail),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((G * kc * gy, LANES),
+            out_shape=jax.ShapeDtypeStruct((gspan * kc * gy, LANES),
                                            jnp.float32),
             interpret=on_cpu(),
         )
@@ -418,8 +554,9 @@ class PallasSpmmScattered:
         d = {"srow": self._srow, "scol": self._scol, "sval": self._sval,
              "colperm": self._colperm, "rowinv": self._rowperm_inv}
         if self._kres:
-            d.update({f"kh_{kk}": v for kk, v in self._kh.items()})
-            d.update({f"kt_{kk}": v for kk, v in self._kt.items()})
+            for r, (hub_r, tail_r, *_rest) in enumerate(self._kranges):
+                d.update({f"kh{r}_{kk}": v for kk, v in hub_r.items()})
+                d.update({f"kt{r}_{kk}": v for kk, v in tail_r.items()})
         else:
             d.update({"wr": self._wr, "ob": self._ob, "val": self._val,
                       "lcol": self._lcol, "tsb": self._tsb})
@@ -475,11 +612,14 @@ class PallasSpmmScattered:
         return y_perm.astype(self.dtype)
 
     def _apply_kres(self, arrs, x_perm):
-        """One schedule pass serves all kc<=8 RHS (k-resident mode)."""
+        """One schedule pass serves all kc<=8 RHS (k-resident mode); the
+        group sequence may be split over several (hub, tail) call pairs to
+        respect the SMEM prefetch-scalar cap — all pairs share the two
+        compiled kernels (common padded tile count and group span)."""
         n = self.shape[1]
-        G, gy, xrp = self._kres_geo
+        G, gy, xrp, gspan = self._kres_geo
         k = x_perm.shape[1]
-        kc = min(k, SUBLANES)
+        kc = min(k, self._kc)
         pad = xrp * 128 - n
         cols = []
         for k0 in range(0, k, kc):
@@ -490,14 +630,20 @@ class PallasSpmmScattered:
             xt = jnp.pad(xs, ((0, pad), (0, 0)))
             xt = xt.reshape(xrp, 128, kc).transpose(2, 0, 1)
             xt_hub = xt[:, :SUBLANES, :]    # hub windows sit in panels 0..2
-            y = self._get_call_kres(kc, self._kh_tiles, tail=False)(
-                arrs["kh_wr"], arrs["kh_ob"], arrs["kh_yg"], xt_hub,
-                arrs["kh_val"], arrs["kh_lcol"], arrs["kh_tsb"])
-            y = y + self._get_call_kres(kc, self._kt_tiles, tail=True)(
-                arrs["kt_wr"], arrs["kt_ob"], arrs["kt_yg"], arrs["kt_ck"],
-                xt, arrs["kt_val"], arrs["kt_lcol"], arrs["kt_tsb"])
-            y = y.reshape(G, kc, gy * 128).transpose(1, 0, 2)
-            y = y.reshape(kc, G * gy * 128)
+            parts = []
+            for r, (_h, _t, ht, tt, g0, g1) in enumerate(self._kranges):
+                y = self._get_call_kres(kc, ht, tail=False)(
+                    arrs[f"kh{r}_wr"], arrs[f"kh{r}_ob"], arrs[f"kh{r}_yg"],
+                    xt_hub, arrs[f"kh{r}_val"], arrs[f"kh{r}_lcol"],
+                    arrs[f"kh{r}_tsb"])
+                y = y + self._get_call_kres(kc, tt, tail=True)(
+                    arrs[f"kt{r}_wr"], arrs[f"kt{r}_ob"], arrs[f"kt{r}_yg"],
+                    arrs[f"kt{r}_ck"], xt, arrs[f"kt{r}_val"],
+                    arrs[f"kt{r}_lcol"], arrs[f"kt{r}_tsb"])
+                # rows past the real span are never-visited pad groups
+                parts.append(y[: (g1 - g0) * kc * gy])
+            y = jnp.concatenate(parts).reshape(G, kc, gy * 128)
+            y = y.transpose(1, 0, 2).reshape(kc, G * gy * 128)
             cols.append(self._epilogue(y, arrs, x_perm, k0, kw))
         y_perm = jnp.concatenate(cols, axis=1)           # (m, k)
         return y_perm.astype(self.dtype)

@@ -341,3 +341,54 @@ class PallasSpmvScattered:
         if with_y:
             out = out + beta.astype(out.dtype) * y
         return out
+
+
+class PallasSpmvScatteredBig:
+    """SpMV through the k-resident PSEG SpMM executor at kc=1 (round 6).
+
+    The whole-VMEM executor above refuses matrices whose x2d (24 MB) or
+    y2d (8 MB) exceed the VMEM ceilings — a full-scale uk-2002-class web
+    graph (18.5M rows) needs 74 MB of each.  The k-resident executor
+    (spmm_pseg) y-blocks the output behind a per-tile prefetch scalar and
+    streams tail-Xt in 256-panel chunks, so no per-matrix VMEM ceiling
+    remains; its SMEM prefetch-scalar cap is handled by group-range call
+    splitting.  Same permuted-space interface as PallasSpmvScattered."""
+
+    _kres = True
+
+    def __init__(self, a: CSR, *, min_fill: float = 0.10,
+                 reorder: bool = True, value_dtype=None):
+        from .spmm_pseg import PallasSpmmScattered
+
+        self._mm = PallasSpmmScattered(
+            a, min_fill=min_fill, reorder=reorder, value_dtype=value_dtype,
+            k_hint=1, kres=True, hybrid=True)
+        self.layout = self._mm.layout
+        self.value_dtype = self._mm.value_dtype
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        m, n = a.shape
+        self.bytes_per_iter = self._mm.bytes_per_iter + (n + m) * 4
+        self.colperm = self._mm.colperm
+        self.rowperm = self._mm.rowperm
+        self.n_virtual = self._mm.n_virtual
+
+    def device_arrays(self):
+        return self._mm.device_arrays()
+
+    def apply_permuted(self, arrs, x_perm):
+        return self._mm.apply_permuted(arrs, x_perm[:, None])[:, 0]
+
+    def apply_pure(self, arrs, x):
+        return self._mm.apply_pure(arrs, x[:, None])[:, 0]
+
+    def apply_traced(self, x):
+        return self.apply_pure(self.device_arrays(), x)
+
+    def __call__(self, x, alpha, beta, y, with_y):
+        out = self.apply_traced(x)
+        out = alpha.astype(out.dtype) * out
+        if with_y:
+            out = out + beta.astype(out.dtype) * y
+        return out

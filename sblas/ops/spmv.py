@@ -114,8 +114,31 @@ class SpmvPlan:
             except ValueError:
                 if not auto:
                     raise
-                method = "rcm" if a.shape[0] == a.shape[1] else \
-                    self._xla_heuristic(a)
+                method = "pseg_big"
+        if method == "pseg_big":
+            # web-scale scattered matrices (uk-2002-class: 18.5M rows):
+            # the whole-VMEM executor refuses x2d/y2d over the VMEM
+            # ceilings; the y-grouped chunked-Xt executor (kres, kc=1)
+            # has no per-matrix VMEM ceiling (spmv_pseg round 6)
+            from .kernels.spmv_pseg import PallasSpmvScatteredBig
+
+            try:
+                self._pallas = PallasSpmvScatteredBig(
+                    a, value_dtype=value_dtype, **fill_kw)
+                self.method = "pseg"   # same permuted-space interface
+                self.bytes_per_iter = self._pallas.bytes_per_iter
+                self.fill = self._pallas.layout.fill
+                return
+            except ValueError:
+                if not auto:
+                    raise
+                # RCM rescue targets mid-size band-local-but-scrambled
+                # matrices; at web scale the host reorder (symmetrize +
+                # permute of >1e8 nnz) costs tens of minutes and w-SELL
+                # would still shatter on a graph, so go straight to XLA
+                method = ("rcm" if a.shape[0] == a.shape[1]
+                          and a.nnz <= 64_000_000
+                          else self._xla_heuristic(a))
         if method == "rcm":
             # Band-local-but-scrambled matrices: neither w-SELL (window
             # locality destroyed) nor PSEG (no hub structure) packs them,

@@ -1,10 +1,11 @@
 """k-resident PSEG SpMM (one schedule pass serves all kc<=8 RHS).
 
-Geometry is shrunk (_BPG=2 blocks per y group, _CH=16 panels per tail-Xt
-chunk, th=64) so a few-thousand-row matrix exercises every boundary the
-full-size executor meets at m=1M: multiple y groups, group transitions in
-both the hub and tail streams, chunk streaming, empty groups, and pad
-tiles.  Reference: scipy dense product (golden.py precedent).
+Geometry is shrunk (kres_geo = (kc=8, bpg=2 blocks per y group, ch=16
+panels per tail-Xt chunk), th=64) so a few-thousand-row matrix exercises
+every boundary the full-size executor meets at m=1M: multiple y groups,
+group transitions in both the hub and tail streams, chunk streaming,
+empty groups, and pad tiles.  Reference: scipy dense product (golden.py
+precedent).
 """
 
 import numpy as np
@@ -15,10 +16,10 @@ import sblas.ops.kernels.spmm_pseg as spmm_pseg
 from sblas.formats import CSR
 
 
-@pytest.fixture(autouse=True)
-def tiny_geometry(monkeypatch):
-    monkeypatch.setattr(spmm_pseg, "_BPG", 2)
-    monkeypatch.setattr(spmm_pseg, "_CH", 16)
+# tiny geometry: kc=8 RHS resident, 2 blocks per y group, 16-panel tail
+# chunks — a few-thousand-row matrix then exercises every boundary the
+# full-size executor meets at web scale
+GEO = (8, 2, 16)
 
 
 def _powerlaw(rng, m, n, nnz, hub_frac=0.4, hub_cols=200):
@@ -46,10 +47,25 @@ def test_kres_groups_and_chunks():
     rng = np.random.default_rng(0)
     a_sp = _powerlaw(rng, 5000, 10000, 30000)
     ex = spmm_pseg.PallasSpmmScattered(
-        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True)
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True, kres_geo=GEO)
     assert ex._kres
     assert ex._kres_geo[0] > 1          # multiple y groups
-    assert ex._kt["ck"].max() > 0       # multiple tail-Xt chunks
+    assert ex._kranges[0][1]["ck"].max() > 0   # multiple tail-Xt chunks
+    _check(ex, a_sp, 8, rng)
+
+
+def test_kres_multi_range(monkeypatch):
+    # tiny SMEM cap -> the group sequence splits over several call pairs
+    monkeypatch.setattr(spmm_pseg, "_SMEM_ROUND_CAP", 128)
+    rng = np.random.default_rng(5)
+    a_sp = _powerlaw(rng, 5000, 10000, 30000)
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True, kres_geo=GEO)
+    assert ex._kres and len(ex._kranges) > 1
+    # all ranges share one compiled shape per stream
+    hts = {r[2] for r in ex._kranges}
+    tts = {r[3] for r in ex._kranges}
+    assert len(hts) == 1 and len(tts) == 1
     _check(ex, a_sp, 8, rng)
 
 
@@ -58,7 +74,7 @@ def test_kres_odd_k(k):
     rng = np.random.default_rng(1)
     a_sp = _powerlaw(rng, 3000, 6000, 15000)
     ex = spmm_pseg.PallasSpmmScattered(
-        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True)
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True, kres_geo=GEO)
     assert ex._kres
     _check(ex, a_sp, k, rng)
 
@@ -75,7 +91,7 @@ def test_kres_empty_groups():
     a_sp = sp.coo_matrix((vals, (rows, cols)), shape=(5000, 6000)).tocsr()
     a_sp.sum_duplicates()
     ex = spmm_pseg.PallasSpmmScattered(
-        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False, kres=True)
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False, kres=True, kres_geo=GEO)
     assert ex._kres
     _check(ex, a_sp, 8, rng)
 
@@ -85,9 +101,46 @@ def test_kres_hub_only():
     rng = np.random.default_rng(3)
     a_sp = _powerlaw(rng, 3000, 250, 10000, hub_frac=1.0, hub_cols=250)
     ex = spmm_pseg.PallasSpmmScattered(
-        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False, kres=True)
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False, kres=True, kres_geo=GEO)
     assert ex._kres
     _check(ex, a_sp, 8, rng)
+
+
+def test_spmv_big_wrapper():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    a_sp = _powerlaw(rng, 5000, 5000, 25000)
+    from sblas.ops.kernels.spmv_pseg import PallasSpmvScatteredBig
+
+    ex = PallasSpmvScatteredBig(CSR.from_scipy(a_sp))
+    x = rng.standard_normal(5000).astype(np.float32)
+    y = np.asarray(ex.apply_pure(ex.device_arrays(), jnp.asarray(x)))
+    ref = a_sp @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_spmv_plan_pseg_big():
+    # the pseg_big plan method keeps the pseg permuted-space interface
+    # (bench drives apply_permuted through plan.method == "pseg")
+    from sblas.ops.spmv import SpmvPlan
+
+    rng = np.random.default_rng(7)
+    a_sp = _powerlaw(rng, 5000, 5000, 25000)
+    plan = SpmvPlan(CSR.from_scipy(a_sp), "pseg_big")
+    assert plan.method == "pseg"
+    assert getattr(plan._pallas, "_kres", False)
+    x = rng.standard_normal(5000).astype(np.float32)
+    y = np.asarray(plan(x))
+    ref = a_sp @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
+    import jax.numpy as jnp
+
+    arrs = plan.device_arrays()
+    xp = jnp.asarray(x)[jnp.asarray(plan._pallas.colperm)]
+    yp = np.asarray(plan.apply_permuted(arrs, xp))
+    y_nat = yp[np.asarray(arrs["rowinv"])]
+    assert np.abs(y_nat - ref).max() / np.abs(ref).max() < 2e-5
 
 
 def test_kres_matches_standard_path():
@@ -97,7 +150,7 @@ def test_kres_matches_standard_path():
     import jax.numpy as jnp
 
     x = rng.standard_normal((8000, 8)).astype(np.float32)
-    ex_k = spmm_pseg.PallasSpmmScattered(a, hybrid=True, k_hint=8, th=64, kres=True)
+    ex_k = spmm_pseg.PallasSpmmScattered(a, hybrid=True, k_hint=8, th=64, kres=True, kres_geo=GEO)
     ex_s = spmm_pseg.PallasSpmmScattered(a, hybrid=True, th=64, kres=False)
     assert ex_k._kres and not ex_s._kres
     yk = np.asarray(ex_k.apply_pure(ex_k.device_arrays(), jnp.asarray(x)))
