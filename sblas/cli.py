@@ -100,7 +100,7 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--method", default="auto",
                     choices=["auto", "coo", "ell", "bucket", "pallas",
-                             "pseg", "rcm", "pallas_ds"])
+                             "pseg", "pseg_big", "rcm", "pallas_ds"])
     sp.add_argument("--value-dtype", default=None, choices=["bf16"],
                     help="store matrix values bf16 on the Pallas paths "
                          "(halves the nnz stream; ~1e-3 value rounding)")
@@ -109,7 +109,8 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--k", type=int, default=8)
     sp.add_argument("--method", default="auto",
-                    choices=["auto", "ell", "bucket", "pallas", "pseg"])
+                    choices=["auto", "ell", "bucket", "bsr", "pallas",
+                             "bsr_pallas", "bsr_pallas_t", "pseg"])
     sp.add_argument("--value-dtype", default=None, choices=["bf16"])
 
     sp = sub.add_parser("sptrsv")
