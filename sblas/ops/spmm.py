@@ -72,7 +72,8 @@ class SpmmPlan:
 
     def __init__(self, a, method: str = "auto", *,
                  max_width: int = 2048, intermediate_mb: int = 32,
-                 value_dtype=None, k_hint: int | None = None):
+                 value_dtype=None, k_hint: int | None = None,
+                 kres: bool | None = None):
         from .common import as_csr
 
         a = as_csr(a)
@@ -131,7 +132,7 @@ class SpmmPlan:
 
             try:
                 self._pallas = PallasSpmmScattered(a, value_dtype=value_dtype,
-                                                   k_hint=k_hint)
+                                                   k_hint=k_hint, kres=kres)
                 self.method = "pseg"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return
@@ -358,6 +359,10 @@ class SpmmPlan:
             candidates.append(("pallas", {"k_hint": k}))
         if self.method != "pseg":
             candidates.append(("pseg", {"k_hint": k}))
+        elif getattr(self._pallas, "_kres", False):
+            # a k-resident compile failure at call time falls back to the
+            # proven whole-VMEM kc-chunked executor, not the XLA paths
+            candidates.append(("pseg", {"k_hint": k, "kres": False}))
         for meth, kw in candidates:
             try:
                 fb = SpmmPlan(self._csr, meth,
