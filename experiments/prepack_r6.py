@@ -32,6 +32,9 @@ def stamp(msg, t0):
 
 def main():
     t0 = time.time()
+    if "--web-only" in sys.argv:
+        web_case(t0)
+        return
 
     a = datasets.random_csr(1_000_000, 1_000_000, 112, bandwidth=1500,
                             seed=7, dtype=np.float32)
@@ -54,13 +57,18 @@ def main():
     gc.collect()
 
     if "--web" in sys.argv:
-        u = datasets.emulate("uk-2002", scale=1.0, dtype=np.float32)
-        stamp(f"uk-2002-full gen done nnz={u.nnz}", t0)
-        from sblas.ops.kernels.spmv_pseg import PallasSpmvScatteredBig
+        web_case(t0)
 
-        p = PallasSpmvScatteredBig(u)
-        stamp(f"uk-2002-full packed fill={p.layout.fill:.2f} "
-              f"ranges={len(p._mm._kranges)} kc={p._mm._kc}", t0)
+
+def web_case(t0):
+    u = datasets.emulate("uk-2002", scale=1.0, dtype=np.float32)
+    stamp(f"uk-2002-full gen done nnz={u.nnz}", t0)
+    from sblas.ops.kernels.spmv_pseg import PallasSpmvScatteredBig
+
+    p = PallasSpmvScatteredBig(u)
+    stamp(f"uk-2002-full packed fill={p.layout.fill:.2f} "
+          f"ranges={len(p._mm._kranges)} kc={p._mm._kc} "
+          f"geo={p._mm._kres_geo}", t0)
 
 
 if __name__ == "__main__":

@@ -70,7 +70,23 @@ def _pick_kres_geometry(w, kh: int):
         score = passes * (nrounds + segs * (ns - 1) / 2)
         if best is None or score < best[0]:
             best = (score, kc, bpg, ch)
-    return best[1], best[2], best[3]
+    kc, bpg, ch = best[1], best[2], best[3]
+    # degree-sorted rows concentrate rounds in the first groups (uk-2002:
+    # group 0 alone blew the SMEM cap at bpg=1600) — shrink bpg until every
+    # group's raw round count fits a range, and give the freed VMEM back to
+    # the chunk size (fewer chunks -> fewer pad segments)
+    cap = int(0.8 * _SMEM_ROUND_CAP)
+    while bpg > 1:
+        per_g_h = np.bincount(oblk[:h0] // bpg)
+        per_g_t = np.bincount(oblk[h0:] // bpg)
+        if (int(per_g_h.max(initial=0)) <= cap
+                and int(per_g_t.max(initial=0)) <= cap):
+            break
+        bpg //= 2
+    free = _KRES_VMEM_BUDGET - kc * bpg * SUBLANES * LANES * 4
+    ch = max((free // (2 * kc * LANES * 4)) // 16 * 16, 16)
+    ch = min(ch, max(-(-w.x2d_rows // 16) * 16, 16))
+    return kc, bpg, ch
 
 
 def _kernel(th, kc, y_rows, tail: bool = False):
