@@ -195,6 +195,14 @@ def main():
             emit(rec)
         except Exception as e:
             print(f"# graph spmv {name} FAIL: {str(e)[:200]}", flush=True)
+            continue
+        # graph SpMM k=8 (k-resident PSEG: one schedule pass for all 8 RHS)
+        try:
+            rec = bench_lib.bench_spmm(g, 8, method="auto", iters=8)
+            rec.extra["matrix"] = f"{name}@{scale}"
+            emit(rec)
+        except Exception as e:
+            print(f"# graph spmm {name} FAIL: {str(e)[:200]}", flush=True)
 
     # Multi-chip (only meaningful on a real pod slice; the 1-chip axon
     # tunnel never takes this branch)
