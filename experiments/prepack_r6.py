@@ -35,6 +35,19 @@ def main():
     if "--web-only" in sys.argv:
         web_case(t0)
         return
+    if "--th" in sys.argv:
+        # tile-height variants for experiments/e19_pseg_th.py
+        g = datasets.powerlaw_graph(1_000_000, avg_deg=120, seed=7,
+                                    dtype=np.float32)
+        stamp(f"powerlaw gen done nnz={g.nnz}", t0)
+        from sblas.ops.kernels.spmv_pseg import PallasSpmvScattered
+
+        for th in (512, 1024):
+            p = PallasSpmvScattered(g, th=th, hybrid=True)
+            stamp(f"powerlaw th={th} packed tiles={p.layout.num_tiles}", t0)
+            del p
+            gc.collect()
+        return
 
     a = datasets.random_csr(1_000_000, 1_000_000, 112, bandwidth=1500,
                             seed=7, dtype=np.float32)
