@@ -106,6 +106,34 @@ def test_kres_hub_only():
     _check(ex, a_sp, 8, rng)
 
 
+def test_kres_no_hub_rounds():
+    # every column past the hub panels (reorder off) -> the hub stream is
+    # nothing but empty-group pad tiles
+    rng = np.random.default_rng(8)
+    nnz = 8000
+    rows = rng.integers(0, 3000, nnz)
+    cols = rng.integers(256, 6000, nnz)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    a_sp = sp.coo_matrix((vals, (rows, cols)), shape=(3000, 6000)).tocsr()
+    a_sp.sum_duplicates()
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, reorder=False,
+        kres=True, kres_geo=GEO)
+    assert ex._kres
+    _check(ex, a_sp, 8, rng)
+
+
+def test_kres_tiny_m():
+    # single 1024-row block -> one y group, hub+tail still split
+    rng = np.random.default_rng(9)
+    a_sp = _powerlaw(rng, 500, 4000, 4000)
+    ex = spmm_pseg.PallasSpmmScattered(
+        CSR.from_scipy(a_sp), hybrid=True, k_hint=8, th=64, kres=True,
+        kres_geo=GEO)
+    assert ex._kres
+    _check(ex, a_sp, 8, rng)
+
+
 def test_spmv_big_wrapper():
     import jax.numpy as jnp
 
