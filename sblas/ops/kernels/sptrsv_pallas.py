@@ -78,11 +78,17 @@ class TrsvLayout:
     # packing needed 22272 rounds (23.5x padding — each row has ~1 dep per
     # panel across a 32-panel band, one round per panel), and extra gather
     # tables+selects are nearly free relative to the round chain (round 4).
+    # e16 frontier sweep (experiments/e16_results.jsonl): nwin=32 is the
+    # optimum — past it rounds stop shrinking (band 2128→1968, chol-nd
+    # 608→560) while ns/round keeps climbing with the select chain
+    # (308→485→610 ns at nwin 32/64/96). th=128 beats 256 on the band
+    # factor by 16% (654.9 vs 761.1 µs); chol-nd prefers 256 by 5% —
+    # defaults are nwin=32, th=128.
     nwin: int = 2
 
 
 def build_layout(l: CSR, *, lower: bool = True, unit_diagonal: bool = False,
-                 th: int = 256, nwin: int = 16,
+                 th: int = 128, nwin: int = 32,
                  cache: bool = True) -> TrsvLayout:
     """Level-set analysis + round packing, persisted across runs for large
     matrices via plan_cache (SURVEY.md §5 checkpoint analogue)."""
@@ -292,7 +298,7 @@ def _analyze(l: CSR, *, lower: bool, unit_diagonal: bool) -> TrsvAnalysis:
 
 def _build_layout_impl(l: CSR, *, lower: bool = True,
                        unit_diagonal: bool = False,
-                       th: int = 256, nwin: int = 16) -> TrsvLayout:
+                       th: int = 128, nwin: int = 32) -> TrsvLayout:
     an = _analyze(l, lower=lower, unit_diagonal=unit_diagonal)
     n = an.n
     nlevels = an.nlevels
@@ -583,7 +589,7 @@ class PallasSptrsv:
     """Level-set Pallas SpTRSV executor (single chip)."""
 
     def __init__(self, l: CSR, *, lower: bool = True,
-                 unit_diagonal: bool = False, th: int = 256, nwin: int = 16):
+                 unit_diagonal: bool = False, th: int = 128, nwin: int = 32):
         if l.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th,

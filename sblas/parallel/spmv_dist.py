@@ -395,6 +395,39 @@ class DistSpmvPlan:
             raise ValueError("beta != 0 requires y")
         return out
 
+    def device_arrays(self):
+        """Matrix-side device arrays as one tuple, for passing through jit
+        arguments (the axon rule: device arrays must never be closure
+        constants — see DESIGN.md). Pair with :meth:`apply_pure` so solver
+        loops (``parallel/solvers_dist.py``) keep the whole Krylov
+        iteration on-device."""
+        if self.local_method == "pallas":
+            return (self._wr, self._ob, self._val, self._lcol)
+        if self.local_method == "pseg":
+            return (self._pwr, self._pob, self._pval, self._plcol,
+                    self._ptsb, self._psrow, self._pscol, self._psval,
+                    jnp.asarray(
+                        np.asarray(self._pseg_colperm).astype(INDEX_DTYPE)))
+        return (self._col, self._val)
+
+    def apply_pure(self, arrs, x):
+        """Pure ``y = A @ x`` on global (n,)→(m,) vectors, jit-composable:
+        no host work, so a ``lax.while_loop`` can call it every iteration.
+        The pseg path pays one device gather for the hub column relabeling
+        (``__call__`` does that permute on the host instead)."""
+        m, n = self.shape
+        x = jnp.asarray(x, dtype=self.dtype)
+        if self.local_method == "pseg":
+            *arrs_k, colperm = arrs
+            x = jnp.take(x, colperm)
+        x_pad = jnp.zeros(self.n_pad, dtype=self.dtype).at[:n].set(x)
+        x_pad = jax.lax.with_sharding_constraint(x_pad, self._x_sharding)
+        if self.local_method == "pallas":
+            return self._run_pallas(*arrs, x_pad)
+        if self.local_method == "pseg":
+            return self._run_pseg(*arrs_k, x_pad)
+        return self._run(*arrs, x_pad)
+
 class RingSpmvPlan:
     """Ring SpMV: x stays sharded; shards rotate around the ring with
     `ppermute` while each chip accumulates the matching column block's
