@@ -134,7 +134,8 @@ def main(argv=None):
 
     sp = sub.add_parser("solve")
     common(sp)
-    sp.add_argument("--solver", default="cg", choices=["cg", "bicgstab"])
+    sp.add_argument("--solver", default="cg",
+                    choices=["cg", "bicgstab", "gmres"])
     sp.add_argument("--precond", default="none",
                     choices=["none", "jacobi", "ichol"])
     sp.add_argument("--tol", type=float, default=1e-6)
@@ -195,7 +196,8 @@ def main(argv=None):
                  "jacobi": lambda: solvers.jacobi(mat),
                  "ichol": lambda: solvers.ichol(mat)}[args.precond]
             M = M() if M else None
-            fn = solvers.cg if args.solver == "cg" else solvers.bicgstab
+            fn = {"cg": solvers.cg, "bicgstab": solvers.bicgstab,
+                  "gmres": solvers.gmres}[args.solver]
             fn(mat, b, tol=args.tol, maxiter=2, M=M)  # compile warmup
             t0 = _time.perf_counter()
             x, info = fn(mat, b, tol=args.tol, maxiter=args.maxiter, M=M)

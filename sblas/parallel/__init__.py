@@ -29,7 +29,7 @@ from .spmm_dist import DistSpmmPlan, dist_spmm
 from .sptrsv_dist import DistSptrsvPlan, dist_sptrsv
 from .sptrsm_dist import DistSptrsmPlan, dist_sptrsm
 from .hier import HierSpmvPlan, HierSpmmPlan, make_mesh_hier
-from .solvers_dist import dist_cg, dist_bicgstab
+from .solvers_dist import dist_cg, dist_bicgstab, dist_gmres
 
 __all__ = [
     "make_mesh", "make_mesh2d", "chips_axis", "rows_axis", "cols_axis",
@@ -41,5 +41,5 @@ __all__ = [
     "DistSpmmPlan", "dist_spmm",
     "DistSptrsvPlan", "dist_sptrsv",
     "DistSptrsmPlan", "dist_sptrsm",
-    "dist_cg", "dist_bicgstab",
+    "dist_cg", "dist_bicgstab", "dist_gmres",
 ]

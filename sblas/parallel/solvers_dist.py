@@ -61,6 +61,29 @@ def dist_cg(a, b, *, mesh=None, strategy: str = "nnz_balanced",
     return x, {"iterations": int(it), "rel_residual": float(res)}
 
 
+def dist_gmres(a, b, *, mesh=None, strategy: str = "nnz_balanced",
+               local_method: str = "auto", tol: float = 1e-6,
+               maxiter: int = 1000, restart: int = 30, M=None, x0=None):
+    """Restarted GMRES(m) for general square A, distributed over the
+    'chips' mesh (right-preconditioned; the (m+1, n) Arnoldi basis lives
+    on device, sharded by GSPMD propagation)."""
+    plan = _as_plan(a, mesh, strategy, local_method)
+    m, n = plan.shape
+    if m != n:
+        raise ValueError("gmres needs a square matrix")
+    b = jnp.asarray(b, dtype=plan.dtype)
+    x0 = (jnp.zeros(n, dtype=plan.dtype) if x0 is None
+          else jnp.asarray(x0, dtype=plan.dtype))
+    arrs_m, apply_m = (None, None) if M is None else M
+    x, it, res = _solvers._gmres_loop(
+        plan.device_arrays(), arrs_m, b, x0,
+        jnp.asarray(tol, dtype=plan.dtype),
+        jnp.asarray(maxiter, jnp.int32), int(restart),
+        apply_a=plan.apply_pure, apply_m=apply_m,
+    )
+    return x, {"iterations": int(it), "rel_residual": float(res)}
+
+
 def dist_bicgstab(a, b, *, mesh=None, strategy: str = "nnz_balanced",
                   local_method: str = "auto", tol: float = 1e-6,
                   maxiter: int = 1000, M=None, x0=None):

@@ -145,6 +145,127 @@ def _ic0_numpy(indptr, indices, vals) -> int:
     return 0
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("apply_a", "apply_m", "restart"))
+def _gmres_loop(arrs_a, arrs_m, b, x0, tol, maxiter, restart, apply_a,
+                apply_m):
+    """Restarted GMRES(m), right-preconditioned (solves A·M⁻¹u = b,
+    x = M⁻¹u, so the minimized residual is the TRUE residual).
+
+    Whole solve is one while_loop over restart cycles; each cycle runs a
+    fixed m Arnoldi steps (static shapes — no data-dependent early exit
+    inside the cycle, the standard jit-able formulation) with modified
+    Gram–Schmidt and Givens rotations, then a dense (m, m) triangular
+    solve. The cycle's final residual norm falls out of the rotated RHS
+    (|g[m]|) for free — the outer condition needs no extra SpMV."""
+    m = restart
+    n = b.shape[0]
+    dtype = b.dtype
+    bnorm = jnp.linalg.norm(b)
+
+    def precond(v):
+        return apply_m(arrs_m, v) if apply_m else v
+
+    def cycle(x):
+        r = b - apply_a(arrs_a, x)
+        beta = jnp.linalg.norm(r)
+        v0 = r / jnp.maximum(beta, 1e-30)
+        vs = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
+        h = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def arnoldi(j, st):
+            vs, h, cs, sn, g = st
+            w = apply_a(arrs_a, precond(vs[j]))
+
+            def mgs(i, wh):
+                w, hcol = wh
+                hij = jnp.where(i <= j, jnp.vdot(vs[i], w), 0.0)
+                return (w - hij * vs[i], hcol.at[i].set(hij))
+
+            w, hcol = lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+            hj1 = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hj1)
+            vs = vs.at[j + 1].set(w / jnp.maximum(hj1, 1e-30))
+
+            def rot(i, hc):
+                do = i < j
+                hi, hi1 = hc[i], hc[i + 1]
+                return (hc.at[i].set(jnp.where(do, cs[i] * hi + sn[i] * hi1,
+                                               hi))
+                        .at[i + 1].set(jnp.where(do,
+                                                 -sn[i] * hi + cs[i] * hi1,
+                                                 hi1)))
+
+            hcol = lax.fori_loop(0, m, rot, hcol)
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, 1e-30),
+                          1.0)
+            s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, 1e-30),
+                          0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            h = h.at[:, j].set(hcol)
+            gj = g[j]
+            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+            return (vs, h, cs, sn, g)
+
+        vs, h, cs, sn, g = lax.fori_loop(0, m, arnoldi,
+                                         (vs, h, cs, sn, g))
+        # h[:m,:m] is upper triangular after the rotations; a zero pivot
+        # means that direction converged exactly — neutralize it (y_i = 0)
+        hd = jnp.diagonal(h[:m, :m])
+        safe = jnp.where(hd == 0, 1.0, hd)
+        hm = h[:m, :m].at[jnp.arange(m), jnp.arange(m)].set(safe)
+        y = jax.scipy.linalg.solve_triangular(
+            hm, jnp.where(hd == 0, 0.0, g[:m]), lower=False)
+        x = x + precond(vs[:m].T @ y)
+        return x, jnp.abs(g[m])
+
+    def cond(st):
+        _, rnorm, it = st
+        return (rnorm > tol * bnorm) & (it < maxiter)
+
+    def step(st):
+        x, _, it = st
+        x, rnorm = cycle(x)
+        return (x, rnorm, it + m)
+
+    r0 = jnp.linalg.norm(b - apply_a(arrs_a, x0))
+    x, rnorm, it = lax.while_loop(cond, step,
+                                  (x0, r0, jnp.asarray(0, jnp.int32)))
+    return x, it, rnorm / jnp.maximum(bnorm, 1e-30)
+
+
+def gmres(a, b, *, tol: float = 1e-6, maxiter: int = 1000,
+          restart: int = 30, M=None, x0=None, method: str = "auto"):
+    """Restarted GMRES(m) for general square A (right-preconditioned).
+
+    ``restart`` is the Arnoldi cycle length m (memory: an (m+1, n) basis
+    lives on device). ``maxiter`` counts matvecs. Returns
+    ``(x, {"iterations", "rel_residual"})``.
+    """
+    plan = a if isinstance(a, SpmvPlan) else SpmvPlan(a, method)
+    n = plan.shape[0]
+    if plan.shape[0] != plan.shape[1]:
+        raise ValueError("gmres needs a square matrix")
+    b = jnp.asarray(b, dtype=plan.dtype)
+    x0 = (jnp.zeros(n, dtype=plan.dtype) if x0 is None
+          else jnp.asarray(x0, dtype=plan.dtype))
+    arrs_m, apply_m = (None, None) if M is None else M
+    x, it, res = _gmres_loop(
+        plan.device_arrays(), arrs_m, b, x0,
+        jnp.asarray(tol, dtype=plan.dtype),
+        jnp.asarray(maxiter, jnp.int32), int(restart),
+        apply_a=plan.apply_pure, apply_m=apply_m,
+    )
+    return x, {"iterations": int(it), "rel_residual": float(res)}
+
+
 @functools.partial(jax.jit, static_argnames=("apply_a", "apply_m"))
 def _bicgstab_loop(arrs_a, arrs_m, b, x0, tol, maxiter, apply_a, apply_m):
     bnorm = jnp.linalg.norm(b)

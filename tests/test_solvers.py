@@ -140,3 +140,48 @@ def test_ichol_requires_diagonal():
             np.array([2.0, 1.0, 2.0], dtype=np.float32))
     with _pytest.raises(ValueError, match="diagonal"):
         solvers.ichol(a)
+
+
+def test_gmres_nonsymmetric():
+    import scipy.sparse as sp
+
+    n = 900
+    rng = np.random.default_rng(21)
+    a = datasets.random_csr(n, n, 9, bandwidth=40, seed=21,
+                            dtype=np.float64)
+    s = a.to_scipy().tolil()
+    s.setdiag(np.abs(s).sum(axis=1).A1 + 1.0)
+    a = CSR.from_scipy(s.tocsr()).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    x, info = solvers.gmres(a, b, tol=1e-6, maxiter=600, restart=30)
+    assert info["rel_residual"] < 1e-6
+    err = (np.linalg.norm(a.to_scipy() @ np.asarray(x) - b)
+           / np.linalg.norm(b))
+    assert err < 1e-5
+
+
+def test_gmres_restart_cycles_and_precond():
+    # small restart forces multiple cycles; jacobi right-preconditioning
+    # must cut the iteration count on a badly scaled system
+    a = _badly_scaled_spd(n=1024, seed=4)
+    b = np.random.default_rng(4).standard_normal(a.shape[0]).astype(
+        np.float32)
+    x, plain = solvers.gmres(a, b, tol=1e-4, maxiter=4000, restart=20)
+    err = (np.linalg.norm(a.to_scipy() @ np.asarray(x) - b)
+           / np.linalg.norm(b))
+    assert plain["rel_residual"] < 1e-4
+    assert err < 5e-3  # restarted GMRES: true residual near the estimate
+    _, pre = solvers.gmres(a, b, tol=1e-4, maxiter=4000, restart=20,
+                           M=solvers.jacobi(a))
+    assert pre["rel_residual"] < 1e-4
+    assert pre["iterations"] < plain["iterations"]
+
+
+def test_gmres_matches_cg_on_spd():
+    a = datasets.poisson2d(24, dtype=np.float32)
+    b = np.random.default_rng(6).standard_normal(a.shape[0]).astype(
+        np.float32)
+    xg, _ = solvers.gmres(a, b, tol=1e-6, maxiter=2000, restart=40)
+    xc, _ = solvers.cg(a, b, tol=1e-6, maxiter=2000)
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xc), rtol=0,
+                               atol=5e-4)

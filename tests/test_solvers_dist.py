@@ -105,3 +105,21 @@ def test_dist_cg_pseg_local_body():
     err = (np.linalg.norm(a.to_scipy() @ np.asarray(x) - b)
            / np.linalg.norm(b))
     assert err < 5e-5
+
+
+def test_dist_gmres_nonsymmetric():
+    from sblas.parallel import dist_gmres
+
+    n = 640
+    rng = np.random.default_rng(31)
+    a = datasets.random_csr(n, n, 9, bandwidth=40, seed=31,
+                            dtype=np.float64)
+    s = a.to_scipy().tolil()
+    s.setdiag(np.abs(s).sum(axis=1).A1 + 1.0)
+    a = CSR.from_scipy(s.tocsr()).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    x, info = dist_gmres(a, b, tol=1e-6, maxiter=600, restart=25)
+    assert info["rel_residual"] < 1e-6
+    err = (np.linalg.norm(a.to_scipy() @ np.asarray(x) - b)
+           / np.linalg.norm(b))
+    assert err < 1e-5
