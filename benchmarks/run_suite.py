@@ -69,15 +69,6 @@ def main():
         rec = bench_lib.bench_spmv(a64, method="auto", iters=3)
         rec.extra["matrix"] = "cant-f64"
         emit(rec)
-        # double-single Pallas fast path: f64-class accuracy (~1e-14) from
-        # two f32 planes (spmv_wsell_ds; VERDICT r1 item 8's "first TPU
-        # f64-class fast path")
-        try:
-            rec = bench_lib.bench_spmv(a64, method="pallas_ds", iters=25)
-            rec.extra["matrix"] = "cant-f64"
-            emit(rec)
-        except Exception as e:
-            print(f"# spmv f64 ds FAIL: {str(e)[:300]}", flush=True)
         return
 
     sbw = stream_bandwidth()
@@ -128,6 +119,21 @@ def main():
                 print(line, flush=True)
         if r.returncode != 0:
             print(f"# spmv f64 FAIL: {r.stderr[-300:]}", flush=True)
+
+        # double-single Pallas fast path: f64-class accuracy (~1e-14) from
+        # two f32 planes (spmv_wsell_ds; VERDICT r1 item 8's "first TPU
+        # f64-class fast path"). Runs in THIS process (x64 off): the ds
+        # design keeps jax x64-free (host-numpy split/merge carries the
+        # precision), and under JAX_ENABLE_X64 Mosaic rejects the kernel
+        # ("64-bit types are not supported") — which is why earlier suites
+        # silently lost this record inside the f64 subprocess.
+        try:
+            a64 = datasets.emulate("cant", scale=1.0, dtype=np.float64)
+            rec = bench_lib.bench_spmv(a64, method="pallas_ds", iters=25)
+            rec.extra["matrix"] = "cant-f64"
+            emit(rec)
+        except Exception as e:
+            print(f"# spmv f64 ds FAIL: {str(e)[:300]}", flush=True)
 
     # Config #2: SpMM K=8/32 over the full FEM set (every README row must
     # have a committed record; VERDICT r1 item 1)

@@ -27,14 +27,17 @@ def main():
     ap.add_argument("--kind", choices=["powerlaw", "fem"], default="powerlaw")
     ap.add_argument("--chips", default="1,2,4,8")
     ap.add_argument("--plan",
-                    choices=["1d", "2d", "halo", "sptrsv", "sptrsm"],
+                    choices=["1d", "2d", "halo", "sptrsv", "sptrsm", "cg"],
                     default="1d",
                     help="1d = row split + x all_gather; 2d = (rows, cols) "
                          "mesh, x sharded over cols, psum of partial y; "
                          "halo = neighbor ppermute strips (band-local "
                          "matrices, collective bytes independent of n); "
                          "sptrsv/sptrsm = distributed triangular solve "
-                         "(level-batched, solved-slot-only exchange)")
+                         "(level-batched, solved-slot-only exchange); "
+                         "cg = distributed PCG end-to-end (one jitted "
+                         "while_loop; iteration count must match the "
+                         "single-chip solver)")
     ap.add_argument("--nrhs", type=int, default=8,
                     help="RHS count for --plan sptrsm")
     ap.add_argument("--cpu-mesh", action="store_true",
@@ -122,6 +125,48 @@ def main():
             }
             if args.plan == "sptrsm":
                 rec["nrhs"] = args.nrhs
+            with open(out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+        return
+
+    if args.plan == "cg":
+        # Distributed-solver weak scaling: the whole Krylov loop on the
+        # mesh. On the CPU mesh the meaningful invariants are (a) the
+        # iteration count matches the single-chip solver bit-for-bit-ish
+        # (same algorithm, psum reassociation only), (b) the residual
+        # converges, (c) the per-iteration collective model: one x
+        # all_gather (n*4 bytes into each chip) + two psum'd dots.
+        from sblas import solvers
+        from sblas.parallel import dist_cg
+
+        for nc in chip_counts:
+            side = max(int(np.sqrt(args.rows_per_chip * nc)), 4)
+            a = datasets.poisson2d(side, dtype=np.float32)
+            n = a.shape[0]
+            mesh = make_mesh(nc)
+            b = np.random.default_rng(0).standard_normal(n).astype(
+                np.float32)
+            plan = DistSpmvPlan(a, mesh, strategy="nnz_balanced")
+            t0 = time.time()
+            x, info = dist_cg(plan, b, tol=1e-5, maxiter=4000)
+            dt = time.time() - t0
+            _, sinfo = solvers.cg(a, b, tol=1e-5, maxiter=4000,
+                                  method="ell")
+            res = float(np.linalg.norm(a.to_scipy() @ np.asarray(x) - b)
+                        / np.linalg.norm(b))
+            rec = {
+                "chips": nc, "n": n, "nnz": a.nnz, "plan": "cg",
+                "iterations": info["iterations"],
+                "iterations_single_chip": sinfo["iterations"],
+                "rel_residual": info["rel_residual"],
+                "true_rel_err": res,
+                "solve_seconds": round(dt, 3),
+                "allgather_bytes_per_chip_per_iter": 4 * n,
+                "local_method": plan.local_method,
+                "backend": jax.default_backend(),
+                "correctness_only": correctness_only,
+            }
             with open(out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(json.dumps(rec), flush=True)
