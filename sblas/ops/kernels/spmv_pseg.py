@@ -161,12 +161,23 @@ def split_heavy_rows(ap: CSR, cap: int = _SPLIT_DEG):
 class PallasSpmvScattered:
     """PSEG Pallas SpMV executor with hub relabeling (single chip)."""
 
-    def __init__(self, a: CSR, *, th: int = 256, min_fill: float = 0.10,
+    def __init__(self, a: CSR, *, th: int | None = None,
+                 min_fill: float = 0.10,
                  reorder: bool = True, value_dtype=None,
                  divert_below: int | None = None,
                  hybrid: bool | None = None):
         if a.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        if th is None:
+            # e19/e21 (round 6): at th=256 the grid is step-overhead-bound
+            # on multi-M-nnz graphs (~350 ns per step x rounds/32 steps).
+            # th=1024 measured 54.3%->67.8% of STREAM on powerlaw-1M-102M
+            # and 56.6%->65.2% on uk-2002@0.05 (14.4M nnz); th=512 is the
+            # mid rung. Small matrices keep 256: the hybrid pack pads its
+            # two streams to whole tiles and the unrolled th/8-round body
+            # compiles slower, with too few steps saved to matter.
+            th = (1024 if a.nnz >= 8_000_000
+                  else 512 if a.nnz >= 2_000_000 else 256)
         from .spmv_pallas import check_value_dtype
         from ...utils.backend import on_cpu
 
