@@ -465,7 +465,37 @@ def _build_layout_impl(l: CSR, *, lower: bool = True,
     )
 
 
-def _kernel(th, n_dense, k: int = 1, nwin: int = 2):
+def _segment_dot(p, seg, dot_mode):
+    """(8,128) products -> (8,SUB) per-segment sums on the MXU.
+
+    seg is a 0/1 selection matrix — EXACT in bf16 — so only the product
+    plane needs splitting. HIGHEST on f32 costs 6 MXU passes; 'split3'
+    (bf16 hi/mid/lo planes, DEFAULT dots) costs 3 passes + 5 VPU ops and
+    keeps ~f32 accuracy (the SpMV split3 trick, DESIGN round-3).
+
+    Measured (e25, experiments/e25_results.jsonl): the body is issue-bound,
+    so the mode moves ns/round only 4-6% — band 364 (highest) / 350
+    (split3) / 341 (split2); rel_err 5.5e-8 / 5.6e-8 / 9.0e-7. split3 is
+    the default (small free win, same accuracy); split2/default trade
+    accuracy for ~2% more and stay opt-in."""
+    if dot_mode == "highest":
+        return jnp.dot(p, seg, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    segb = seg.astype(jnp.bfloat16)
+    hi = p.astype(jnp.bfloat16)
+    if dot_mode == "default":
+        return jnp.dot(hi, segb, preferred_element_type=jnp.float32)
+    r1 = p - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    out = (jnp.dot(hi, segb, preferred_element_type=jnp.float32)
+           + jnp.dot(mid, segb, preferred_element_type=jnp.float32))
+    if dot_mode == "split2":
+        return out
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return out + jnp.dot(lo, segb, preferred_element_type=jnp.float32)
+
+
+def _kernel(th, n_dense, k: int = 1, nwin: int = 2, dot_mode: str = "split3"):
     """Wavefront kernel body for k right-hand sides.
 
     k > 1 runs k solves in one sequential grid pass sharing the schedule
@@ -525,9 +555,7 @@ def _kernel(th, n_dense, k: int = 1, nwin: int = 2):
                     tab = jnp.broadcast_to(xw, (SUBLANES, 128))
                     gj = jnp.take_along_axis(tab, cjs[j], axis=1)
                     g = gj if g is None else jnp.where(c >= j * 128, gj, g)
-                part = jnp.dot(v * g, seg,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # (8,SUB)
+                part = _segment_dot(v * g, seg, dot_mode)  # (8,SUB)
                 # first round of a block SETS its slab (no dependence on
                 # buffer init semantics); later rounds accumulate.
                 acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
@@ -589,7 +617,8 @@ class PallasSptrsv:
     """Level-set Pallas SpTRSV executor (single chip)."""
 
     def __init__(self, l: CSR, *, lower: bool = True,
-                 unit_diagonal: bool = False, th: int = 128, nwin: int = 32):
+                 unit_diagonal: bool = False, th: int = 128, nwin: int = 32,
+                 dot_mode: str = "split3"):
         if l.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
         lay = build_layout(l, lower=lower, unit_diagonal=unit_diagonal, th=th,
@@ -621,6 +650,7 @@ class PallasSptrsv:
         self._invd = jnp.asarray(lay.inv_diag)
         self._perm = jnp.asarray(lay.perm)
         self._unperm = jnp.asarray(lay.slot_of_row)
+        self._dot_mode = dot_mode
         # b layout map: b2d[blk*8+s, k] = b_perm[blk*128 + s*16 + k]
         self._kcalls = {}
         self._call = self._build(1)
@@ -666,7 +696,7 @@ class PallasSptrsv:
             ),
         )
         call = pl.pallas_call(
-            _kernel(lay.th, lay.n_dense, k, lay.nwin),
+            _kernel(lay.th, lay.n_dense, k, lay.nwin, self._dot_mode),
             grid_spec=grid_spec,
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((lay.x2d_rows, LANES), jnp.float32)
@@ -1000,7 +1030,7 @@ def _build_layout_m_impl(l: CSR, *, lower: bool, unit_diagonal: bool,
     )
 
 
-def _kernel_m(th, n_dense, nwin):
+def _kernel_m(th, n_dense, nwin, dot_mode: str = "split3"):
     """Multi-RHS wavefront body: sublane = RHS, lane = (group-row, dep).
 
     acc and b are per-BLOCK (8 RHS, 128) tiles whose lane layout (q*16 + j)
@@ -1061,9 +1091,7 @@ def _kernel_m(th, n_dense, nwin):
                 # multiply
                 prod = jnp.where(vb != 0.0, vb * g, 0.0)
                 ss = (base == q * GROUP).astype(jnp.float32)
-                part = jnp.dot(prod, ss,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # (8,128)
+                part = _segment_dot(prod, ss, dot_mode)       # (8,128)
                 total = part if total is None else total + part
             slab = b * SUBLANES
             acc_cur = acc_ref[pl.ds(slab, SUBLANES), :]
@@ -1129,9 +1157,11 @@ class PallasSptrsvLanes:
     MAX_RHS = 8
 
     def __init__(self, l: CSR, *, lower: bool = True,
-                 unit_diagonal: bool = False, th: int = 4, nwin: int = 16):
+                 unit_diagonal: bool = False, th: int = 4, nwin: int = 16,
+                 dot_mode: str = "split3"):
         if l.dtype == np.float64:
             raise ValueError("Mosaic has no f64; use the XLA path for fp64")
+        self._dot_mode = dot_mode
         lay = build_layout_m(l, lower=lower, unit_diagonal=unit_diagonal,
                              th=th, nwin=nwin)
         # Scoped-VMEM budget = whole buffers (x + acc + b + minv +
@@ -1192,7 +1222,7 @@ class PallasSptrsvLanes:
             ),
         )
         return pl.pallas_call(
-            _kernel_m(lay.th, lay.n_dense, lay.nwin),
+            _kernel_m(lay.th, lay.n_dense, lay.nwin, self._dot_mode),
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((lay.x_rows * SUBLANES, LANES),

@@ -168,3 +168,21 @@ def test_sptrsv_nd_cholesky_factor():
     b = np.random.default_rng(2).standard_normal(l.shape[0]).astype(np.float32)
     x = np.asarray(p.apply_traced(b))
     assert rel_err(x, sptrsv_golden(l, b)) < 2e-4
+
+
+@pytest.mark.parametrize("dot_mode,tol",
+                         [("highest", 2e-4), ("split3", 2e-4),
+                          ("split2", 2e-3), ("default", 2e-1)])
+def test_sptrsv_dot_modes(dot_mode, tol):
+    # e25 (experiments/e25_results.jsonl): the segment dot is ~4-6% of the
+    # round, split3 matches HIGHEST accuracy (5.6e-8 vs 5.5e-8 end-to-end
+    # on the band factor) and is the default; split2/default trade
+    # accuracy. This guards correctness of every mode's kernel lowering.
+    from sblas.ops.kernels.sptrsv_pallas import PallasSptrsv
+
+    a = datasets.poisson2d_nd(24, dtype=np.float64)
+    l = datasets.cholesky_factor(a, dtype=np.float32)
+    p = PallasSptrsv(l, dot_mode=dot_mode)
+    b = np.random.default_rng(3).standard_normal(l.shape[0]).astype(np.float32)
+    x = np.asarray(p.apply_traced(b))
+    assert rel_err(x, sptrsv_golden(l, b)) < tol
