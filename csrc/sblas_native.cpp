@@ -490,3 +490,39 @@ extern "C" int64_t sblas_ic0_f64(const int32_t* indptr,
   }
   return 0;
 }
+
+// ILU(0): incomplete LU on the pattern of A (square CSR, columns ascending,
+// full diagonal), in place — IKJ sweep with a column-position work array.
+// On return data holds L (strictly lower, unit diagonal implicit) and U
+// (diagonal + strictly upper). Returns 0, or (i+1) if row i hit a zero
+// pivot / missing diagonal (caller may shift the diagonal and retry).
+extern "C" int64_t sblas_ilu0_f64(const int32_t* indptr,
+                                  const int32_t* indices,
+                                  double* data, int64_t n) {
+  std::vector<int32_t> diag(n, -1);
+  std::vector<int32_t> pos(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t p0 = indptr[i], p1 = indptr[i + 1];
+    for (int32_t p = p0; p < p1; ++p) pos[indices[p]] = p;
+    int64_t bad = 0;
+    for (int32_t p = p0; p < p1 && indices[p] < i; ++p) {
+      const int32_t k = indices[p];
+      const double ukk = data[diag[k]];
+      if (ukk == 0.0) { bad = (int64_t)k + 1; break; }
+      const double lik = data[p] / ukk;
+      data[p] = lik;
+      for (int32_t q = diag[k] + 1; q < indptr[k + 1]; ++q) {
+        const int32_t pj = pos[indices[q]];
+        if (pj >= 0) data[pj] -= lik * data[q];
+      }
+    }
+    if (!bad) {
+      const int32_t pd = pos[i];
+      if (pd < 0 || data[pd] == 0.0) bad = i + 1;
+      else diag[i] = pd;
+    }
+    for (int32_t p = p0; p < p1; ++p) pos[indices[p]] = -1;
+    if (bad) return bad;
+  }
+  return 0;
+}

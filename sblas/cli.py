@@ -137,7 +137,7 @@ def main(argv=None):
     sp.add_argument("--solver", default="cg",
                     choices=["cg", "bicgstab", "gmres"])
     sp.add_argument("--precond", default="none",
-                    choices=["none", "jacobi", "ichol"])
+                    choices=["none", "jacobi", "ichol", "ilu"])
     sp.add_argument("--tol", type=float, default=1e-6)
     sp.add_argument("--maxiter", type=int, default=2000)
 
@@ -194,7 +194,8 @@ def main(argv=None):
             b = rng.standard_normal(mat.shape[0]).astype(mat.dtype)
             M = {"none": None,
                  "jacobi": lambda: solvers.jacobi(mat),
-                 "ichol": lambda: solvers.ichol(mat)}[args.precond]
+                 "ichol": lambda: solvers.ichol(mat),
+                 "ilu": lambda: solvers.ilu(mat)}[args.precond]
             M = M() if M else None
             fn = {"cg": solvers.cg, "bicgstab": solvers.bicgstab,
                   "gmres": solvers.gmres}[args.solver]

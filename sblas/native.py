@@ -83,6 +83,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     ]
     lib.sblas_ic0_f64.restype = ctypes.c_int64
     lib.sblas_ic0_f64.argtypes = [i32p, i32p, f64p, ctypes.c_int64]
+    lib.sblas_ilu0_f64.restype = ctypes.c_int64
+    lib.sblas_ilu0_f64.argtypes = [i32p, i32p, f64p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -215,6 +217,21 @@ def ic0_inplace(indptr, indices, data64) -> int:
     assert data64.dtype == np.float64 and data64.flags.c_contiguous
     return int(lib.sblas_ic0_f64(_as_i32p(indptr), _as_i32p(indices),
                                  _as_f64p(data64), len(indptr) - 1))
+
+
+def ilu0_inplace(indptr, indices, data64) -> int:
+    """Native ILU(0) over the full-pattern CSR values (sorted cols, full
+    diagonal): in place, L unit-lower + U upper. Returns 0, or i+1 on a
+    zero pivot / missing diagonal at row i. Returns -1 when no native
+    library is available (caller falls back)."""
+    lib = _build_and_load()
+    if lib is None:
+        return -1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    assert data64.dtype == np.float64 and data64.flags.c_contiguous
+    return int(lib.sblas_ilu0_f64(_as_i32p(indptr), _as_i32p(indices),
+                                  _as_f64p(data64), len(indptr) - 1))
 
 
 def pack_pseg_rounds(blk_s, tl_s, ts_s, pan_s, col_s, val_s, divert_below):

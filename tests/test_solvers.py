@@ -185,3 +185,108 @@ def test_gmres_matches_cg_on_spd():
     xc, _ = solvers.cg(a, b, tol=1e-6, maxiter=2000)
     np.testing.assert_allclose(np.asarray(xg), np.asarray(xc), rtol=0,
                                atol=5e-4)
+
+
+def _nonsym_convection(nx=32, eps=0.02):
+    """Convection-diffusion 2D upwind stencil — classically ILU's regime."""
+    import scipy.sparse as sp
+
+    n = nx * nx
+    h = 1.0 / (nx + 1)
+    # -eps*lap + b . grad with upwinding; strongly nonsymmetric
+    main = np.full(n, 4 * eps / h**2 + 2 / h)
+    west = np.full(n - 1, -eps / h**2 - 1 / h)
+    east = np.full(n - 1, -eps / h**2)
+    south = np.full(n - nx, -eps / h**2 - 1 / h)
+    north = np.full(n - nx, -eps / h**2)
+    west[np.arange(1, n) % nx == 0] = 0.0
+    east[np.arange(1, n) % nx == 0] = 0.0
+    s = sp.diags([main, west, east, south, north],
+                 [0, -1, 1, -nx, nx]).tocsr()
+    s.sort_indices()
+    return CSR.from_scipy(s).astype(np.float32)
+
+
+def test_ilu0_exact_on_tridiagonal():
+    # tridiagonal LU has no fill, so ILU(0) = exact LU: one preconditioner
+    # application solves the system (GMRES converges in O(1) iterations).
+    a = datasets.banded(500, 1, seed=11, dtype=np.float64)
+    s = a.to_scipy().tolil()
+    s.setdiag(np.abs(s).sum(axis=1).A1 + 1.0)
+    m = CSR.from_scipy(s.tocsr()).astype(np.float32)
+    b = np.random.default_rng(12).standard_normal(500).astype(np.float32)
+    # iterations count whole fixed-m Arnoldi cycles (restart per cycle);
+    # an exact preconditioner needs exactly ONE short cycle.
+    x, info = solvers.gmres(m, b, tol=1e-5, maxiter=50, restart=4,
+                            M=solvers.ilu(m))
+    assert info["rel_residual"] < 1e-5
+    assert info["iterations"] <= 4
+
+
+def test_ilu0_gmres_beats_plain_on_convection():
+    m = _nonsym_convection()
+    b = np.random.default_rng(13).standard_normal(m.shape[0]).astype(
+        np.float32)
+    _, plain = solvers.gmres(m, b, tol=1e-6, maxiter=800, restart=30)
+    _, pre = solvers.gmres(m, b, tol=1e-6, maxiter=800, restart=30,
+                           M=solvers.ilu(m))
+    assert pre["rel_residual"] < 1e-6
+    assert pre["iterations"] < plain["iterations"] / 2
+
+
+def test_ilu0_bicgstab_nonsymmetric():
+    m = _nonsym_convection(nx=24, eps=0.05)
+    b = np.random.default_rng(14).standard_normal(m.shape[0]).astype(
+        np.float32)
+    _, pre = solvers.bicgstab(m, b, tol=1e-5, maxiter=400,
+                              M=solvers.ilu(m))
+    assert pre["rel_residual"] < 1e-5
+
+
+def test_ilu0_native_matches_numpy():
+    from sblas import native
+
+    m = _nonsym_convection(nx=12)
+    vals_np = m.data.astype(np.float64).copy()
+    rc = solvers._ilu0_numpy(m.indptr, m.indices, vals_np)
+    assert rc == 0
+    if native.have_native():
+        vals_c = m.data.astype(np.float64).copy()
+        rc_c = native.ilu0_inplace(m.indptr, m.indices, vals_c)
+        assert rc_c == 0
+        np.testing.assert_allclose(vals_c, vals_np, rtol=1e-13)
+
+
+def test_ilu0_factor_quality():
+    # || A - L U ||_F restricted error should be small relative to ||A||
+    # on a diagonally dominant matrix (ILU(0) residual lives OFF-pattern).
+    import scipy.sparse as sp
+
+    m = _nonsym_convection(nx=16)
+    vals = m.data.astype(np.float64).copy()
+    assert solvers._ilu0_numpy(m.indptr, m.indices, vals) == 0
+    fac = sp.csr_matrix((vals, m.indices, m.indptr), shape=m.shape)
+    l = sp.tril(fac, -1) + sp.eye(m.shape[0])
+    u = sp.triu(fac)
+    a64 = m.to_scipy().astype(np.float64)
+    res = (l @ u - a64)
+    # on-pattern residual ~ 0 (exact by construction)
+    on = res.multiply(abs(a64).sign())
+    assert sp.linalg.norm(on) / sp.linalg.norm(a64) < 1e-10
+
+
+def test_ilu0_shift_rescue_and_errors():
+    import scipy.sparse as sp
+
+    # A = [[1,1],[1,1]]: u11 = 1 - l10*u01 = 0 — zero pivot at row 1;
+    # the doubling diagonal shift must rescue it.
+    m = CSR.from_scipy(sp.csr_matrix(np.ones((2, 2)))).astype(np.float64)
+    arrs, apply = solvers.ilu(m)
+    z = np.asarray(apply(arrs, np.ones(2)))
+    assert np.isfinite(z).all()
+    # missing diagonal rejected
+    nd = CSR.from_scipy(sp.csr_matrix(np.array([[1.0, 1.0], [1.0, 0.0]])))
+    with pytest.raises(ValueError, match="diagonal"):
+        solvers.ilu(nd)
+    with pytest.raises(ValueError, match="square"):
+        solvers.ilu(datasets.random_csr(8, 6, 2, seed=0))
