@@ -35,3 +35,13 @@ def test_pagerank_example():
     # at very low fill under divert=0 — harmless at this size)
     rp, _ = mod["pagerank"](g, method="pseg", min_fill=0.01, tol=1e-9)
     assert np.abs(rp - r).max() < 1e-2 * max(float(r.max()), 1e-9)
+
+
+def test_convection_ilu_example():
+    mod = runpy.run_path(str(_EX / "convection_ilu.py"))
+    a, b, (x0, plain), (x1, pre) = mod["solve"](nx=24, eps=0.02)
+    assert pre["rel_residual"] < 1e-6
+    assert pre["iterations"] < plain["iterations"] / 2
+    err = (np.linalg.norm(a.to_scipy() @ np.asarray(x1) - b)
+           / np.linalg.norm(b))
+    assert err < 1e-4
