@@ -141,18 +141,13 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
     if value_dtype is not None:
         extra["value_dtype"] = str(np.dtype(value_dtype))
         tol = max(tol, default_tol(value_dtype))
-    if validate:
-        y = np.asarray(plan(x0))
-        err = rel_err(y, spmm_golden(a, np.asarray(x0)))
-        extra["rel_err"] = err
-        assert err < tol, f"validation failed: {err}"
-
+    x_t = x0
     if plan.method == "pseg":
         # scattered fast path: iterate in hub-relabeled space (same
         # precedent as bench_spmv/bench_sptrsv; noted in the record)
         ps = plan._pallas
         extra["kres"] = bool(getattr(ps, "_kres", False))
-        x0 = x0[jnp.asarray(ps.colperm), :]
+        x_t = x0[jnp.asarray(ps.colperm), :]
         extra["permutes"] = "amortized (hub-relabeled space)"
 
         def step(x, arrs, x0):
@@ -161,8 +156,35 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
         def step(x, arrs, x0):
             return x0 + _EPS * plan.apply_pure(arrs, x)
 
+    if plan._csr is not None:
+        # Probe-compile the exact timed path before validating/measuring:
+        # Mosaic compile failures (axon remote-compile HTTP 500) surface
+        # only at the first compile of THIS executable — eval_shape fires
+        # host guards but never reaches Mosaic, and plan(x0)'s internal
+        # fallback protects a DIFFERENT traced path (the r8 powerlaw-1M
+        # kres loss). Degrade exactly like SpmmPlan.__call__ does.
+        try:
+            jax.block_until_ready(
+                jax.jit(step)(x_t, plan.device_arrays(), x_t))
+        except RuntimeError:
+            plan = plan._fallback_for(k)
+            extra["method"] = plan.method
+            extra["fallback"] = "mosaic-compile"
+            extra.pop("kres", None)
+            extra.pop("permutes", None)
+            x_t = x0
+
+            def step(x, arrs, x0):
+                return x0 + _EPS * plan.apply_pure(arrs, x)
+
+    if validate:
+        y = np.asarray(plan(x0))
+        err = rel_err(y, spmm_golden(a, np.asarray(x0)))
+        extra["rel_err"] = err
+        assert err < tol, f"validation failed: {err}"
+
     with jax.profiler.TraceAnnotation("kernel"):
-        per = measure_seconds_per_iter(step, x0, plan.device_arrays(), x0,
+        per = measure_seconds_per_iter(step, x_t, plan.device_arrays(), x_t,
                                        iters_lo=max(iters // 5, 2),
                                        iters_hi=iters)
     x_traffic = n * k * a.data.itemsize

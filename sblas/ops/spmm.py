@@ -91,6 +91,21 @@ class SpmmPlan:
         self._csr = a if method in ("pallas", "pseg", "bsr_pallas",
                                     "bsr_pallas_t") else None
         self._fb = {}   # per-k fallback plans (keyed by padded k)
+        if method == "spmv_passes":
+            # k SpMV passes sharing ONE SpmvPlan: each column re-streams the
+            # schedule, but every column rides the proven SpMV fast path.
+            # Last-resort fallback where whole-VMEM SpMM executors cannot
+            # exist (m*k*itemsize past the y ceiling) and the XLA ell path
+            # runs ~20x slower (suite_r5_large fem-band: 569 ms ell vs
+            # 8 x 2.5 ms SpMV passes).
+            from .spmv import SpmvPlan
+
+            self._spmv = SpmvPlan(a, "auto", value_dtype=value_dtype)
+            self.method = "spmv_passes"
+            sched = self._spmv.bytes_per_iter - (
+                (a.shape[0] + a.shape[1]) * a.data.itemsize)
+            self.bytes_per_iter_nx = (k_hint or 8) * sched
+            return
         if method == "bsr_pallas_t" and auto:
             # auto chain: transposed dense-block BSR (DMA-roofline; e13b)
             # -> (rows,K) BSR -> w-SELL -> PSEG (scattered) -> XLA
@@ -216,6 +231,8 @@ class SpmmPlan:
             return {"val": self._val, "col": self._col}
         if self.method == "bucket":
             return {"buckets": self._buckets, "perm": self._perm}
+        if self.method == "spmv_passes":
+            return self._spmv.device_arrays()
         return self._pallas.device_arrays()
 
     def apply_pure(self, arrs, x):
@@ -255,6 +272,10 @@ class SpmmPlan:
             flat = jnp.concatenate(partials)
             return jnp.zeros((m + 1, k),
                              dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
+        if self.method == "spmv_passes":
+            cols = [self._spmv.apply_pure(arrs, x[:, j])
+                    for j in range(x.shape[1])]
+            return jnp.stack(cols, axis=1)
         if self.method in ("pallas", "pseg", "bsr_pallas", "bsr_pallas_t"):
             return self._pallas.apply_pure(arrs, x)
         meta = self._bsr_meta
@@ -316,8 +337,11 @@ class SpmmPlan:
             )
             return _bucket_spmm(self._buckets, self._perm, x, al, be, yv, m,
                                 blks, with_y)
-        if self.method == "bsr":
-            out = jax.jit(self.apply_traced)(x)
+        if self.method in ("bsr", "spmv_passes"):
+            if self.method == "bsr":
+                out = jax.jit(self.apply_traced)(x)
+            else:
+                out = jax.jit(self.apply_pure)(self.device_arrays(), x)
             out = al.astype(out.dtype) * out
             if with_y:
                 out = out + be.astype(out.dtype) * yv
@@ -374,6 +398,15 @@ class SpmmPlan:
                 elif meth != "pseg":
                     fb._pallas._get_call(k)
                 break
+            except (ValueError, RuntimeError):
+                fb = None
+        if fb is None:
+            # k SpMV passes over the proven SpMV auto plan — the only
+            # route at web scale (m past every whole-VMEM SpMM y ceiling)
+            # that stays on Pallas kernels; ~20x faster than XLA ell there
+            try:
+                fb = SpmmPlan(self._csr, "spmv_passes",
+                              value_dtype=self._value_dtype, k_hint=k)
             except (ValueError, RuntimeError):
                 fb = None
         if fb is None:

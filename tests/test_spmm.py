@@ -318,3 +318,47 @@ def test_spmm_auto_chain_to_pseg():
         assert SpmmPlan(g, "auto").method == "pseg"
     finally:
         be._BACKEND = saved
+
+
+def test_spmm_spmv_passes_method():
+    # the last-resort web-scale fallback: k SpMV passes over one shared
+    # SpmvPlan (r8: powerlaw-1M-102M kres Mosaic compile crash)
+    import jax
+
+    a = datasets.emulate("cant", scale=0.1, dtype=np.float32)
+    plan = SpmmPlan(a, "spmv_passes", k_hint=8)
+    assert plan.method == "spmv_passes"
+    x = np.random.default_rng(3).standard_normal(
+        (a.shape[1], 8)).astype(np.float32)
+    y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+    assert rel_err(y, spmm_golden(a, x)) < 2e-5
+    # __call__ path with alpha/beta
+    yv = np.random.default_rng(4).standard_normal(
+        (a.shape[0], 8)).astype(np.float32)
+    out = np.asarray(plan(x, alpha=2.0, beta=-0.5, y=yv))
+    assert rel_err(out, 2.0 * spmm_golden(a, x) - 0.5 * yv) < 2e-5
+
+
+def test_spmm_fallback_chain_reaches_spmv_passes(monkeypatch):
+    # force every pallas SpMM candidate to fail at build so _fallback_for
+    # lands on spmv_passes rather than the XLA heuristic
+    import importlib
+
+    spmm_mod = importlib.import_module("sblas.ops.spmm")
+
+    a = datasets.emulate("cant", scale=0.05, dtype=np.float32)
+    plan = SpmmPlan(a, "pallas")
+
+    real_init = spmm_mod.SpmmPlan.__init__
+
+    def failing_init(self, a2, method="auto", **kw):
+        if method in ("pallas", "pseg", "bsr_pallas", "bsr_pallas_t"):
+            raise ValueError("forced candidate failure")
+        return real_init(self, a2, method, **kw)
+
+    monkeypatch.setattr(spmm_mod.SpmmPlan, "__init__", failing_init)
+    fb = plan._fallback_for(8)
+    assert fb.method == "spmv_passes"
+    x = np.random.default_rng(5).standard_normal(
+        (a.shape[1], 8)).astype(np.float32)
+    assert rel_err(np.asarray(fb(x)), spmm_golden(a, x)) < 2e-5
