@@ -47,6 +47,9 @@ def main():
                          "emulation (18.5M rows, 298M nnz; ~1h gen+pack "
                          "cold)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--case", default=None,
+                    help="with --large: run only cases whose name contains "
+                         "this substring")
     ap.add_argument("--f64-only", action="store_true",
                     help="run just the fp64 record (x64 flag on; used as a "
                          "subprocess by the main suite)")
@@ -75,7 +78,7 @@ def main():
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
 
     if args.large:
-        run_large(emit, web=args.web)
+        run_large(emit, web=args.web, only=args.case)
         print(f"# wrote {len(records)} records to {out}", flush=True)
         return
 
@@ -226,7 +229,7 @@ def main():
     print(f"# wrote {len(records)} records to {out}", flush=True)
 
 
-def run_large(emit, web: bool = False):
+def run_large(emit, web: bool = False, only: str | None = None):
     """>=100M-nnz single-chip records (VERDICT r1 item 4; SURVEY.md §7 hard
     parts 1 & 4).
 
@@ -253,6 +256,13 @@ def run_large(emit, web: bool = False):
         # 120 nets ~102M after dedup
         ("powerlaw-1M-102M", lambda: datasets.powerlaw_graph(
             1_000_000, avg_deg=120, seed=7, dtype=np.float32)),
+        # real-FEM-like clustering (the small-suite emulations use bw ~
+        # 2.5x deg, giving 128x128 panel density 0.10-0.17): bsr_pallas_t
+        # streamed-Xt SpMM applies at this scale, vs the bw=1500 case
+        # above whose 0.035 panel density forces the gather-bound paths
+        ("fem-cluster-1M-109M", lambda: datasets.random_csr(
+            1_000_000, 1_000_000, 130, bandwidth=180, seed=11,
+            dtype=np.float32)),
     ]
     if web:
         # FULL-scale uk-2002 emulation: 18.5M rows — x2d/y2d are 74 MB
@@ -262,6 +272,8 @@ def run_large(emit, web: bool = False):
         cases.append(("uk-2002-full", lambda: datasets.emulate(
             "uk-2002", scale=1.0, dtype=np.float32)))
     for name, gen in cases:
+        if only and only not in name:
+            continue
         try:
             t0 = _t.time()
             a = gen()

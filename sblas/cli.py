@@ -110,7 +110,8 @@ def main(argv=None):
     sp.add_argument("--k", type=int, default=8)
     sp.add_argument("--method", default="auto",
                     choices=["auto", "ell", "bucket", "bsr", "pallas",
-                             "bsr_pallas", "bsr_pallas_t", "pseg"])
+                             "bsr_pallas", "bsr_pallas_t", "pseg",
+                             "spmv_passes"])
     sp.add_argument("--value-dtype", default=None, choices=["bf16"])
 
     sp = sub.add_parser("sptrsv")

@@ -94,17 +94,13 @@ class SpmmPlan:
         if method == "spmv_passes":
             # k SpMV passes sharing ONE SpmvPlan: each column re-streams the
             # schedule, but every column rides the proven SpMV fast path.
-            # Last-resort fallback where whole-VMEM SpMM executors cannot
-            # exist (m*k*itemsize past the y ceiling) and the XLA ell path
-            # runs ~20x slower (suite_r5_large fem-band: 569 ms ell vs
-            # 8 x 2.5 ms SpMV passes).
-            from .spmv import SpmvPlan
-
-            self._spmv = SpmvPlan(a, "auto", value_dtype=value_dtype)
-            self.method = "spmv_passes"
-            sched = self._spmv.bytes_per_iter - (
-                (a.shape[0] + a.shape[1]) * a.data.itemsize)
-            self.bytes_per_iter_nx = (k_hint or 8) * sched
+            # e29 measured this as the gather-SpMM frontier on v5e: every
+            # single-pass gather kernel pays k lane-gathers per nnz anyway
+            # (one (8,128) gather issue fetches values for ONE x plane), so
+            # k DMA-bound passes (93.5% of STREAM by their own byte model)
+            # beat the issue-bound w-SELL SpMM kernel (10.6x SpMV wall
+            # clock) and tie PSEG (7.9x) on band-local scattered matrices.
+            self._init_spmv_passes(a, value_dtype, k_hint)
             return
         if method == "bsr_pallas_t" and auto:
             # auto chain: transposed dense-block BSR (DMA-roofline; e13b)
@@ -130,18 +126,29 @@ class SpmmPlan:
             except ValueError:
                 method = "pallas"
         if method == "pallas" and auto:
-            # same fallback contract as SpmvPlan: auto-selection chains
-            # w-SELL -> PSEG (scattered) -> XLA (VERDICT r1 items 3/6)
-            try:
-                from .kernels.spmm_pallas import PallasSpmm
+            # Past the dense-block paths, route by what SpMV auto picks
+            # (e29, band1500-100K, wall-clock): w-SELL-eligible matrices
+            # run k SpMV passes (2.16 ms) — the w-SELL SpMM kernel is
+            # issue-bound at k gathers + k tiny dots per group (2.66 ms,
+            # 10.6x one SpMV) and is never the winner, so it is explicit-
+            # only now; scattered graphs keep the k-resident PSEG SpMM
+            # (5.7x one PSEG SpMV on uk-2002@0.05 — sub-k, beats passes).
+            from ..retile_wsell import (estimate_rounds, pick_sub,
+                                        SUBLANES, LANES)
+            from .spmv import SpmvPlan
 
-                self._pallas = PallasSpmm(a, value_dtype=value_dtype,
-                                          k_hint=k_hint or 8)
-                self.method = "pallas"
-                self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+            sp = None
+            fill_est = a.nnz / max(
+                estimate_rounds(a, pick_sub(a)) * SUBLANES * LANES, 1)
+            if fill_est >= 0.2:   # cheap probe: skip the SpMV pack when
+                try:              # w-SELL would shatter (graphs)
+                    sp = SpmvPlan(a, "auto", value_dtype=value_dtype)
+                except (ValueError, RuntimeError):
+                    sp = None
+            if sp is not None and sp.method in ("pallas", "rcm"):
+                self._init_spmv_passes(a, value_dtype, k_hint, plan=sp)
                 return
-            except ValueError:
-                method = "pseg"
+            method = "pseg"
         if method == "pseg":
             from .kernels.spmm_pseg import PallasSpmmScattered
 
@@ -199,6 +206,16 @@ class SpmmPlan:
             self.bytes_per_iter_nx = self._pallas.bytes_per_iter
         else:
             raise ValueError(f"unknown spmm method {method!r}")
+
+    def _init_spmv_passes(self, a, value_dtype, k_hint, plan=None):
+        from .spmv import SpmvPlan
+
+        self._spmv = plan if plan is not None else SpmvPlan(
+            a, "auto", value_dtype=value_dtype)
+        self.method = "spmv_passes"
+        sched = self._spmv.bytes_per_iter - (
+            (a.shape[0] + a.shape[1]) * a.data.itemsize)
+        self.bytes_per_iter_nx = (k_hint or 8) * sched
 
     @staticmethod
     def _xla_heuristic(a: CSR) -> str:

@@ -320,6 +320,25 @@ def test_spmm_auto_chain_to_pseg():
         be._BACKEND = saved
 
 
+def test_spmm_auto_band_scattered_routes_to_spmv_passes():
+    # e29 (band1500-100K, chip): w-SELL SpMM 2.66 ms vs spmv_passes
+    # 2.16 ms vs pseg 1.99..2.2 ms — every gather SpMM pays ~k SpMV
+    # passes, so auto sends w-SELL-eligible matrices (BSR density too low
+    # for the dense-block paths) to k DMA-bound SpMV passes.
+    import sblas.utils.backend as be
+
+    a = datasets.random_csr(20_000, 20_000, 112, bandwidth=1500, seed=7,
+                            dtype=np.float32)
+    saved = be._BACKEND
+    be._BACKEND = "tpu"
+    try:
+        plan = SpmmPlan(a, "auto", k_hint=8)
+        assert plan.method == "spmv_passes"
+        assert plan._spmv.method == "pallas"
+    finally:
+        be._BACKEND = saved
+
+
 def test_spmm_spmv_passes_method():
     # the last-resort web-scale fallback: k SpMV passes over one shared
     # SpmvPlan (r8: powerlaw-1M-102M kres Mosaic compile crash)
