@@ -244,24 +244,37 @@ def sptrsv_reference_pure(l: CSR):
 
 def bench_sptrsv(l: CSR, *, validate: bool = True, iters: int = 20,
                  compare_reference: bool = False,
-                 tile_rows: int = 0) -> BenchRecord:
+                 tile_rows: int = 0, method: str = "auto",
+                 sweeps: int | None = None) -> BenchRecord:
     n = l.shape[0]
-    plan = SptrsvPlan(l, tile_rows=tile_rows)
+    if method == "jacobi":
+        from .ops.sptrsv_iter import SptrsvJacobiPlan
+
+        plan = SptrsvJacobiPlan(l, sweeps=sweeps)
+    else:
+        plan = SptrsvPlan(l, tile_rows=tile_rows, method=method)
     rng = np.random.default_rng(0)
     b0 = jnp.asarray(rng.standard_normal(n).astype(l.dtype))
 
     extra = {"nnz": l.nnz, "n": n, "nlevels": plan.nlevels,
-             "tile_rows": plan.tile_rows,
-             "padding_ratio": plan.padding_ratio,
+             "method": plan.method,
              "dtype": str(np.dtype(l.dtype))}
+    if method == "jacobi":
+        extra["sweeps"] = plan.sweeps
+    else:
+        extra["tile_rows"] = plan.tile_rows
+        extra["padding_ratio"] = plan.padding_ratio
     if validate:
         x = np.asarray(plan(b0))
         err = rel_err(x, sptrsv_golden(l, np.asarray(b0)))
         extra["rel_err"] = err
-        tol = 1e-10 if l.dtype == np.float64 else 1e-3
-        assert err < tol, f"validation failed: {err}"
+        exact = method != "jacobi" or plan.sweeps >= plan.nlevels - 1
+        if exact:
+            tol = 1e-10 if l.dtype == np.float64 else 1e-3
+            assert err < tol, f"validation failed: {err}"
+        # truncated jacobi: rel_err is the reported approximation quality
 
-    if plan.method == "pallas":
+    if getattr(plan, "method", "") == "pallas":
         # measure the on-chip wavefront solve only; the level permutation of
         # b/x is host-side (XLA device gathers are ~1 GB/s on TPU, DESIGN.md)
         p = plan._pallas

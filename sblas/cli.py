@@ -117,6 +117,12 @@ def main(argv=None):
     sp = sub.add_parser("sptrsv")
     common(sp, tri=True)
     sp.add_argument("--tile-rows", type=int, default=0)
+    sp.add_argument("--method", default="auto",
+                    choices=["auto", "tiles", "pallas", "jacobi"])
+    sp.add_argument("--sweeps", type=int, default=None,
+                    help="jacobi only: sweep count (default exact = "
+                         "nlevels-1); fewer = truncated preconditioner-"
+                         "grade solve, rel_err reported")
     sp.add_argument("--compare-reference", action="store_true",
                     help="also time the naive jnp masked wavefront")
 
@@ -139,6 +145,9 @@ def main(argv=None):
                     choices=["cg", "bicgstab", "gmres"])
     sp.add_argument("--precond", default="none",
                     choices=["none", "jacobi", "ichol", "ilu"])
+    sp.add_argument("--trsv-sweeps", type=int, default=None,
+                    help="ichol/ilu: apply triangular solves as N jacobi "
+                         "sweeps (bandwidth-bound) instead of exactly")
     sp.add_argument("--tol", type=float, default=1e-6)
     sp.add_argument("--maxiter", type=int, default=2000)
 
@@ -184,7 +193,8 @@ def main(argv=None):
             rec = bench_lib.bench_sptrsv(
                 mat, validate=validate, iters=args.iters,
                 compare_reference=args.compare_reference,
-                tile_rows=args.tile_rows)
+                tile_rows=args.tile_rows, method=args.method,
+                sweeps=args.sweeps)
         elif args.cmd == "solve":
             import time as _time
 
@@ -193,10 +203,11 @@ def main(argv=None):
 
             rng = np.random.default_rng(0)
             b = rng.standard_normal(mat.shape[0]).astype(mat.dtype)
+            sw = args.trsv_sweeps
             M = {"none": None,
                  "jacobi": lambda: solvers.jacobi(mat),
-                 "ichol": lambda: solvers.ichol(mat),
-                 "ilu": lambda: solvers.ilu(mat)}[args.precond]
+                 "ichol": lambda: solvers.ichol(mat, trsv_sweeps=sw),
+                 "ilu": lambda: solvers.ilu(mat, trsv_sweeps=sw)}[args.precond]
             M = M() if M else None
             fn = {"cg": solvers.cg, "bicgstab": solvers.bicgstab,
                   "gmres": solvers.gmres}[args.solver]

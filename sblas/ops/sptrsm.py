@@ -277,6 +277,15 @@ def sptrsm(l, b, *, lower: bool = True, unit_diagonal: bool = False,
     plans = _PLAN_CACHE.setdefault(l, {})
     key = ("sptrsm", lower, unit_diagonal, method, tuple(sorted(kw.items())))
     if key not in plans:
-        plans[key] = SptrsmPlan(l, lower=lower, unit_diagonal=unit_diagonal,
-                                method=method, **kw)
+        if method == "jacobi":
+            # truncated-Neumann sweep solve: one SpMM per sweep serves
+            # all k RHS — see ops/sptrsv_iter.py
+            from .sptrsv_iter import SptrsmJacobiPlan
+
+            plans[key] = SptrsmJacobiPlan(
+                l, lower=lower, unit_diagonal=unit_diagonal, **kw)
+        else:
+            plans[key] = SptrsmPlan(l, lower=lower,
+                                    unit_diagonal=unit_diagonal,
+                                    method=method, **kw)
     return plans[key](b)

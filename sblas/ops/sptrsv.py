@@ -177,6 +177,15 @@ def sptrsv(l, b, *, lower: bool = True, unit_diagonal: bool = False,
     plans = _PLAN_CACHE.setdefault(l, {})
     key = ("sptrsv", lower, unit_diagonal, method, tuple(sorted(kw.items())))
     if key not in plans:
-        plans[key] = SptrsvPlan(l, lower=lower, unit_diagonal=unit_diagonal,
-                                method=method, **kw)
+        if method == "jacobi":
+            # truncated-Neumann sweep solve (bandwidth-bound; exact at
+            # nlevels-1 sweeps) — see ops/sptrsv_iter.py
+            from .sptrsv_iter import SptrsvJacobiPlan
+
+            plans[key] = SptrsvJacobiPlan(
+                l, lower=lower, unit_diagonal=unit_diagonal, **kw)
+        else:
+            plans[key] = SptrsvPlan(l, lower=lower,
+                                    unit_diagonal=unit_diagonal,
+                                    method=method, **kw)
     return plans[key](b)

@@ -69,7 +69,8 @@ def _cg_loop(arrs_a, arrs_m, b, x0, tol, maxiter, apply_a, apply_m):
     return x, it, jnp.linalg.norm(r) / jnp.maximum(bnorm, 1e-30)
 
 
-def ichol(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6):
+def ichol(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6,
+          trsv_sweeps: int | None = None):
     """IC(0) preconditioner: M = L L^T on the pattern of tril(A).
 
     Factorization is the native C++ sweep (python fallback); application
@@ -78,6 +79,13 @@ def ichol(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6):
     (A + shift·diag(A)) and retried, doubling up to ``max_shift_tries``
     times — the standard shifted-IC rescue. Returns an (arrs, apply)
     pair for :func:`cg` / :func:`bicgstab`.
+
+    ``trsv_sweeps=k`` swaps the exact solves for k Jacobi sweeps each
+    (``ops.sptrsv_iter``): the triangular applies become bandwidth-bound
+    SpMV passes instead of the latency-bound wavefront — the
+    Anzt/Chow/Dongarra inexact-preconditioning trade. The preconditioner
+    becomes nonstationary only in exact arithmetic terms; for fixed k it
+    stays a fixed linear operator, so plain CG remains valid.
     """
     from .formats import tril, csr_transpose
     from .ops.sptrsv import SptrsvPlan
@@ -107,8 +115,15 @@ def ichol(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6):
         raise ValueError("IC(0) breakdown persists after diagonal shifts")
 
     l = CSR(lo.shape, lo.indptr, lo.indices, vals.astype(a.dtype))
-    fwd = SptrsvPlan(l, lower=True, method="tiles")
-    bwd = SptrsvPlan(csr_transpose(l), lower=False, method="tiles")
+    if trsv_sweeps is not None:
+        from .ops.sptrsv_iter import SptrsvJacobiPlan
+
+        fwd = SptrsvJacobiPlan(l, lower=True, sweeps=trsv_sweeps)
+        bwd = SptrsvJacobiPlan(csr_transpose(l), lower=False,
+                               sweeps=trsv_sweeps)
+    else:
+        fwd = SptrsvPlan(l, lower=True, method="tiles")
+        bwd = SptrsvPlan(csr_transpose(l), lower=False, method="tiles")
     arrs = {"f": fwd.device_arrays(), "b": bwd.device_arrays()}
 
     def apply(arrs, r):
@@ -117,7 +132,8 @@ def ichol(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6):
     return arrs, apply
 
 
-def ilu(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6):
+def ilu(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6,
+        trsv_sweeps: int | None = None):
     """ILU(0) preconditioner: M = L U on the pattern of A (nonsymmetric).
 
     The factorization is the native C++ IKJ sweep (`sblas_ilu0_f64`;
@@ -158,8 +174,15 @@ def ilu(a: CSR, *, shift: float = 0.0, max_shift_tries: int = 6):
     fac = CSR(a.shape, fac.indptr, fac.indices, fac.data.astype(a.dtype))
     l = tril(fac, unit_diagonal=True)
     u = triu(fac)
-    fwd = SptrsvPlan(l, lower=True, unit_diagonal=True, method="tiles")
-    bwd = SptrsvPlan(u, lower=False, method="tiles")
+    if trsv_sweeps is not None:
+        from .ops.sptrsv_iter import SptrsvJacobiPlan
+
+        fwd = SptrsvJacobiPlan(l, lower=True, unit_diagonal=True,
+                               sweeps=trsv_sweeps)
+        bwd = SptrsvJacobiPlan(u, lower=False, sweeps=trsv_sweeps)
+    else:
+        fwd = SptrsvPlan(l, lower=True, unit_diagonal=True, method="tiles")
+        bwd = SptrsvPlan(u, lower=False, method="tiles")
     arrs = {"f": fwd.device_arrays(), "b": bwd.device_arrays()}
 
     def apply(arrs, r):
