@@ -243,6 +243,7 @@ def run_large(emit, web: bool = False, only: str | None = None):
     import time as _t
 
     from sblas.ops.spmv import SpmvPlan
+    from sblas.plan_cache import cached_matrix
 
     cases = [
         # FEM-style band locality: ~8.5 nnz per 2-panel window keeps
@@ -275,8 +276,13 @@ def run_large(emit, web: bool = False, only: str | None = None):
         if only and only not in name:
             continue
         try:
+            # generated matrices persist across runs (VERDICT r2 item 3:
+            # at web scale the generator is the dominant un-cached cost —
+            # uk-2002-full paid 1254 s of gen per suite_r8 run). The key
+            # doubles as the layout cache's matrix digest, so warm packs
+            # skip content hashing too.
             t0 = _t.time()
-            a = gen()
+            a = cached_matrix(f"suite-large-{name}", gen)
             gen_s = _t.time() - t0
             # cold pack (plan-cache miss) vs warm rebuild (cache hit)
             t0 = _t.time()
