@@ -36,6 +36,15 @@ def _attach_stream(rec: BenchRecord) -> None:
     sbw = stream_bandwidth()
     rec.extra["stream_gbps"] = sbw
     rec.extra["pct_stream"] = 100.0 * rec.gbps / sbw
+    # Padded layouts stream padding slots at kernel rate; gbps counts those
+    # streamed bytes (a saturation proof), but the USEFUL bandwidth is gbps
+    # x fill — report both so a 100%-of-STREAM row at fill 0.47 cannot read
+    # as optimal (VERDICT r2 weak #5: uk-2002-full). Fill is the entire
+    # optimization headroom on low-fill packs.
+    fill = rec.extra.get("fill")
+    if fill is not None and fill < 0.999:
+        rec.extra["effective_gbps"] = rec.gbps * fill
+        rec.extra["pct_stream_effective"] = 100.0 * rec.gbps * fill / sbw
 
 
 def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
@@ -123,6 +132,34 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
     with jax.profiler.TraceAnnotation("retile"):
         plan = SpmmPlan(a, method, value_dtype=value_dtype, k_hint=k)
     rng = np.random.default_rng(0)
+    if plan.method == "pallas_ds":
+        # double-single f64-class SpMM: numpy f64 boundary, two-plane carry
+        xnp = rng.standard_normal((n, k))
+        extra = {"method": plan.method, "nnz": a.nnz, "m": m, "k": k,
+                 "dtype": "float64"}
+        if validate:
+            y = plan(xnp)
+            err = rel_err(y, spmm_golden(a, xnp))
+            extra["rel_err"] = err
+            assert err < 1e-10, f"validation failed: {err}"
+        xh = xnp.astype(np.float32)
+        xl = (xnp - xh.astype(np.float64)).astype(np.float32)
+        x0p = (jnp.asarray(xh), jnp.asarray(xl))
+
+        def step(x, arrs, x0):
+            yh, yl = plan.apply_planes(arrs, x[0], x[1])
+            return (x0[0] + _EPS * yh, x0[1] + _EPS * yl)
+
+        per = measure_seconds_per_iter(step, x0p, plan.device_arrays(), x0p,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+        rec = BenchRecord(
+            name=f"spmm_k{k}", seconds_per_iter=per, flops=2.0 * a.nnz * k,
+            bytes=plan.bytes_per_iter_nx + (m + 3 * n) * k * 8, extra=extra,
+        )
+        if with_stream_pct:
+            _attach_stream(rec)
+        return rec
     with jax.profiler.TraceAnnotation("H2D"):
         x0 = jnp.asarray(rng.standard_normal((n, k)).astype(a.dtype))
     if plan._csr is not None:
@@ -177,6 +214,9 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
             def step(x, arrs, x0):
                 return x0 + _EPS * plan.apply_pure(arrs, x)
 
+    lay = getattr(getattr(plan, "_pallas", None), "layout", None)
+    if getattr(lay, "fill", None) is not None:
+        extra["fill"] = lay.fill
     if validate:
         y = np.asarray(plan(x0))
         err = rel_err(y, spmm_golden(a, np.asarray(x0)))
@@ -266,7 +306,11 @@ def bench_sptrsv(l: CSR, *, validate: bool = True, iters: int = 20,
         extra["padding_ratio"] = plan.padding_ratio
     if validate:
         x = np.asarray(plan(b0))
-        err = rel_err(x, sptrsv_golden(l, np.asarray(b0)))
+        # upcast b to the matrix dtype for the golden (exact for f32->f64):
+        # sptrsv_golden rounds its result back to b's dtype, and a golden
+        # rounded to f32 caps any f64-class validation at 2e-8 (same
+        # pitfall bench_spmv documents)
+        err = rel_err(x, sptrsv_golden(l, np.asarray(b0, dtype=l.dtype)))
         extra["rel_err"] = err
         exact = method != "jacobi" or plan.sweeps >= plan.nlevels - 1
         if exact:
@@ -274,7 +318,27 @@ def bench_sptrsv(l: CSR, *, validate: bool = True, iters: int = 20,
             assert err < tol, f"validation failed: {err}"
         # truncated jacobi: rel_err is the reported approximation quality
 
-    if getattr(plan, "method", "") == "pallas":
+    if getattr(plan, "method", "") == "pallas_ds":
+        # f64-class refinement chain: initial f32 wavefront solve +
+        # refine_iters x (ds residual SpMV + correction solve), one jit;
+        # b permutation/split host-side as in the pallas branch
+        p = plan._pallas
+        arrs = p.device_arrays()
+        bh, bl = p.b_to_planes(np.asarray(b0, dtype=np.float64))
+        planes0 = (jnp.asarray(bh), jnp.asarray(bl))
+        extra["refine_iters"] = p.refine_iters
+        extra["ds_spmv_fill"] = p._ds.layout.fill
+
+        def step(carry, arrs, planes0):
+            xh, _xl = p.solve_planes(arrs, planes0[0] + carry * _EPS,
+                                     planes0[1])
+            return jnp.float32(_EPS) * xh[0]
+
+        per = measure_seconds_per_iter(step, jnp.float32(0.0), arrs, planes0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+        extra["permutes"] = "host-side"
+    elif getattr(plan, "method", "") == "pallas":
         # measure the on-chip wavefront solve only; the level permutation of
         # b/x is host-side (XLA device gathers are ~1 GB/s on TPU, DESIGN.md)
         p = plan._pallas

@@ -421,7 +421,12 @@ class PallasSpmmScattered:
         # chunk) so ONE pass serves all kc<=8 RHS: the output y-group block
         # rides a per-tile prefetch scalar, tail Xt streams in _CH-panel
         # chunks. Requires the hybrid pack (hub windows must sit in chunk 0).
-        kh = min(k_hint or 8, SUBLANES)
+        # kernel chunk width caps at SUBLANES; larger k (e.g. 32) runs
+        # ceil(k/kc) passes in apply_permuted — the bytes models below must
+        # scale by the FULL requested k, not the capped chunk (a K=32 plan
+        # priced at one 8-wide pass would overstate pct_stream 4x)
+        k_full = k_hint or 8
+        kh = min(k_full, SUBLANES)
         if kres is None:
             kres = (w.n_hub_rounds >= 0 and kh > self._k_chunk())
         self._kres = bool(kres)
@@ -455,15 +460,17 @@ class PallasSpmmScattered:
             # one pass serves kc RHS (ceil(kh/kc) passes for kh): schedule
             # per pass + tail Xt re-staged per visited (chunk, group) + y
             # group blocks out
-            passes = -(-kh // self._kc)
+            passes = -(-k_full // self._kc)
             self.bytes_per_iter = passes * (
                 tiles_total * w.th * LANES * (value_dtype.itemsize + 4)
                 + xt_stages * ch * LANES * 4 * self._kc) \
-                + G * kh * bpg * SUBLANES * LANES * 4
+                + G * k_full * bpg * SUBLANES * LANES * 4
         # hybrid stream: rounds [0, n_hub) are win2 hub tiles, the rest
         # panel-bound tail tiles (two branchless calls; see spmv_pseg)
         ns = w.th // SUBLANES
         if not self._kres:
+            # whole-VMEM executor: ceil(k/kc) full schedule passes
+            self.bytes_per_iter *= -(-k_full // self._k_chunk())
             if w.n_hub_rounds >= 0:
                 self._tiles_h = max(w.n_hub_rounds // ns, 1)
             else:

@@ -102,6 +102,20 @@ class SpmmPlan:
             # clock) and tie PSEG (7.9x) on band-local scattered matrices.
             self._init_spmv_passes(a, value_dtype, k_hint)
             return
+        if method == "pallas_ds":
+            # f64-class SpMM = k double-single SpMV passes (opt-in, same
+            # error model as spmv pallas_ds: ~max_deg * 2^-48, not IEEE
+            # f64 — the strict-f64 XLA paths remain the auto default).
+            # One jitted pass per column over the shared two-plane w-SELL
+            # layout; numpy f64 at the boundary (see spmv_wsell_ds).
+            from .spmv import SpmvPlan
+
+            self._spmv = SpmvPlan(a, "pallas_ds")
+            self.method = "pallas_ds"
+            m, n = a.shape
+            sched = self._spmv.bytes_per_iter - (n + m) * 8
+            self.bytes_per_iter_nx = (k_hint or 8) * sched
+            return
         if method == "bsr_pallas_t" and auto:
             # auto chain: transposed dense-block BSR (DMA-roofline; e13b)
             # -> (rows,K) BSR -> w-SELL -> PSEG (scattered) -> XLA
@@ -248,13 +262,26 @@ class SpmmPlan:
             return {"val": self._val, "col": self._col}
         if self.method == "bucket":
             return {"buckets": self._buckets, "perm": self._perm}
-        if self.method == "spmv_passes":
+        if self.method in ("spmv_passes", "pallas_ds"):
             return self._spmv.device_arrays()
         return self._pallas.device_arrays()
+
+    def apply_planes(self, arrs, xh, xl):
+        """pallas_ds jittable core: (n, k) f32 hi/lo planes of X in ->
+        ((m, k), (m, k)) hi/lo planes of Y out."""
+        ds = self._spmv._pallas
+        cols = [ds.apply_pure(arrs, xh[:, j], xl[:, j])
+                for j in range(xh.shape[1])]
+        return (jnp.stack([c[0] for c in cols], axis=1),
+                jnp.stack([c[1] for c in cols], axis=1))
 
     def apply_pure(self, arrs, x):
         """Y = A @ X with arrays passed explicitly (jit-argument safe)."""
         m = self.shape[0]
+        if self.method == "pallas_ds":
+            raise ValueError(
+                "pallas_ds carries X as two f32 planes; use "
+                "plan.apply_planes(arrs, xh, xl) or the numpy-f64 __call__")
         if self.method == "ell":
             val, col = arrs["val"], arrs["col"]
             mp = val.shape[0]
@@ -330,6 +357,22 @@ class SpmmPlan:
 
     def __call__(self, x, alpha: float = 1.0, beta: float = 0.0, y=None):
         m, n = self.shape
+        if self.method == "pallas_ds":
+            # numpy f64 boundary: jnp.asarray would silently downcast f64
+            # to f32 under the default x64-off config (see spmv_wsell_ds)
+            x = np.asarray(x, dtype=np.float64)
+            if x.ndim != 2 or x.shape[0] != n:
+                raise ValueError(f"X must have shape ({n}, k), got {x.shape}")
+            xh = x.astype(np.float32)
+            xl = (x - xh.astype(np.float64)).astype(np.float32)
+            yh, yl = jax.jit(self.apply_planes)(
+                self.device_arrays(), jnp.asarray(xh), jnp.asarray(xl))
+            out = (np.asarray(yh, dtype=np.float64)
+                   + np.asarray(yl, dtype=np.float64))
+            out = float(alpha) * out
+            if y is not None:
+                out = out + float(beta) * np.asarray(y, dtype=np.float64)
+            return out
         x = jnp.asarray(x, dtype=self.dtype)
         if x.ndim != 2 or x.shape[0] != n:
             raise ValueError(f"X must have shape ({n}, k), got {x.shape}")

@@ -70,6 +70,21 @@ class SptrsvPlan:
                 # XLA gather is ~1 GB/s serial on TPU (measured); the Pallas
                 # wavefront kernel is the only fast path there.
                 method = "pallas"
+        if method == "pallas_ds":
+            # f64-class fast path (opt-in): f32 wavefront + double-single
+            # residual refinement in slot space (kernels/sptrsv_ds)
+            from .kernels.sptrsv_ds import PallasSptrsvDS
+
+            self._pallas = PallasSptrsvDS(l, lower=lower,
+                                          unit_diagonal=unit_diagonal, **{})
+            self.method = "pallas_ds"
+            self.bytes_per_iter = self._pallas.bytes_per_iter
+            self.nlevels = self._pallas.nlevels
+            self.tile_rows = 128
+            self.num_tiles = self._pallas.layout.num_tiles
+            self.padding_ratio = (self._pallas.layout.num_blocks * 128
+                                  / max(l.shape[0], 1))
+            return
         if method == "pallas":
             from .kernels.sptrsv_pallas import PallasSptrsv
 
@@ -117,6 +132,11 @@ class SptrsvPlan:
 
     def apply_pure(self, arrs, b):
         """x = solve(L, b) with arrays passed explicitly (jit-argument safe)."""
+        if self.method == "pallas_ds":
+            raise ValueError(
+                "pallas_ds carries b as two f32 planes; use "
+                "plan._pallas.solve_planes(arrs, bh, bl) or the numpy-f64 "
+                "__call__")
         if self.method == "pallas":
             return self._pallas.apply_pure(arrs, b)
         n = self.shape[0]
@@ -144,6 +164,12 @@ class SptrsvPlan:
 
     def __call__(self, b):
         n = self.shape[0]
+        if self.method == "pallas_ds":
+            # numpy f64 boundary (jnp.asarray would downcast under x64-off)
+            b = np.asarray(b, dtype=np.float64)
+            if b.shape != (n,):
+                raise ValueError(f"b must have shape ({n},), got {b.shape}")
+            return self._pallas(b)
         b = jnp.asarray(b, dtype=self.dtype)
         if b.shape != (n,):
             raise ValueError(f"b must have shape ({n},), got {b.shape}")
