@@ -151,7 +151,8 @@ class TrsvAnalysis:
     minvT: np.ndarray         # (max(n_dense,1)*128, 128) block inverses^T
 
 
-def _analyze(l: CSR, *, lower: bool, unit_diagonal: bool) -> TrsvAnalysis:
+def _analyze(l: CSR, *, lower: bool, unit_diagonal: bool,
+             order_key=None) -> TrsvAnalysis:
     n = l.shape[0]
     levels, nlevels = native.level_schedule(l.indptr, l.indices, n,
                                             lower=lower)
@@ -160,7 +161,16 @@ def _analyze(l: CSR, *, lower: bool, unit_diagonal: bool) -> TrsvAnalysis:
     # the dependency-free bottom rows) — do NOT reverse for upper; reversing
     # put dependencies in same-or-later blocks and silently corrupted
     # sptrsv(U, b, lower=False) on the Pallas path (ADVICE r1, high).
-    order = np.lexsort((np.arange(n), levels))  # stable by (level, row)
+    #
+    # order_key: optional per-row sort key applied WITHIN each level — any
+    # within-level permutation preserves the level topology, but it changes
+    # which rows share a 128-row block and therefore the block's round
+    # count (rows with similar dependency-slot windows pack into shared
+    # rounds; e31 measures candidate keys).
+    if order_key is None:
+        order = np.lexsort((np.arange(n), levels))  # stable by (level, row)
+    else:
+        order = np.lexsort((np.arange(n), np.asarray(order_key), levels))
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
 
@@ -298,8 +308,10 @@ def _analyze(l: CSR, *, lower: bool, unit_diagonal: bool) -> TrsvAnalysis:
 
 def _build_layout_impl(l: CSR, *, lower: bool = True,
                        unit_diagonal: bool = False,
-                       th: int = 128, nwin: int = 32) -> TrsvLayout:
-    an = _analyze(l, lower=lower, unit_diagonal=unit_diagonal)
+                       th: int = 128, nwin: int = 32,
+                       order_key=None) -> TrsvLayout:
+    an = _analyze(l, lower=lower, unit_diagonal=unit_diagonal,
+                  order_key=order_key)
     n = an.n
     nlevels = an.nlevels
     num_blocks = an.num_blocks
