@@ -340,12 +340,16 @@ def run_large(emit, web: bool = False, only: str | None = None):
         except Exception as e:
             print(f"# large spmv {name} FAIL: {str(e)[:300]}", flush=True)
             continue
-        try:
-            rec = bench_lib.bench_spmm(a, 8, method="auto", iters=5)
-            rec.extra["matrix"] = name
-            emit(rec)
-        except Exception as e:
-            print(f"# large spmm {name} FAIL: {str(e)[:300]}", flush=True)
+        # k=8 AND k=32 (BASELINE config #2 names both; k=32 is where the
+        # k-aware dense routing wins 4.25x over passes — e30)
+        for kk in (8, 32):
+            try:
+                rec = bench_lib.bench_spmm(a, kk, method="auto", iters=4)
+                rec.extra["matrix"] = name
+                emit(rec)
+            except Exception as e:
+                print(f"# large spmm {name} k={kk} FAIL: {str(e)[:300]}",
+                      flush=True)
 
 
 if __name__ == "__main__":

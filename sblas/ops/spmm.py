@@ -122,8 +122,29 @@ class SpmmPlan:
             try:
                 from .kernels.spmm_bsr_pallas import PallasSpmmBsrT
 
+                # k-aware density cutoff (e30, band1500-100K): dense blocks
+                # stream ONCE for all k RHS (4/density B/nnz) while passes
+                # pay k * ~6/fill B/nnz, so the economic threshold falls
+                # with k. Measured at density 0.034 / fill 0.425: BSR-T
+                # beats passes 1707 vs 2021 us at k=8 and 1939 vs 8234 us
+                # at k=32 (the old k-blind 0.04 cutoff refused both).
+                # 0.53 is the measured rate ratio (dense runs 745 GB/s pure
+                # streams vs passes' ~630 effective incl. per-pass x/y).
+                min_d = 0.04
+                st = bsr_stats(a, br=128, bc=128)
+                # block-bytes guard: v5e HBM is 16 GiB; fem-band-1M's 12.1
+                # GiB block plan fits alongside Xt/Yt, anything bigger
+                # cannot (falls through to spmv_passes)
+                if st["density"] < 0.04 and st["bytes"] <= 13 << 30:
+                    from ..retile_wsell import estimate_rounds, pick_sub
+                    from ..retile_wsell import SUBLANES as _SL, LANES as _LN
+
+                    fill_est = a.nnz / max(
+                        estimate_rounds(a, pick_sub(a)) * _SL * _LN, 1)
+                    min_d = max(0.53 * fill_est / (k_hint or 8), 0.008)
                 self._pallas = PallasSpmmBsrT(a, value_dtype=value_dtype,
-                                              k_hint=k_hint or 8)
+                                              k_hint=k_hint or 8,
+                                              min_density=min_d)
                 self.method = "bsr_pallas_t"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
                 return

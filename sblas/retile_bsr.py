@@ -60,7 +60,35 @@ def bsr_stats(a: CSR, *, br: int = 128, bc: int = 128) -> dict:
             "bytes": area * a.data.itemsize}
 
 
-def pack_bsr(a: CSR, *, br: int = 128, bc: int = 128) -> BsrBlocks:
+def pack_bsr(a: CSR, *, br: int = 128, bc: int = 128,
+             cache: bool = True) -> BsrBlocks:
+    """Dense-block pack. Large packings persist via plan_cache (mmap .npy):
+    fem-band-1M's 12 GiB block plan costs ~750 s to build host-side and is
+    shared by every k (the k-aware dense routing makes it the large-FEM
+    SpMM default — e30)."""
+    from . import plan_cache
+
+    m, n = a.shape
+    if (cache and plan_cache.cache_enabled()
+            and a.nnz >= 8 * plan_cache.MIN_CACHE_NNZ):
+        params = {"br": br, "bc": bc, "v": 1}
+
+        def build():
+            b = _pack_bsr_impl(a, br=br, bc=bc)
+            return {"blocks": b.blocks, "brow": b.brow, "bcol": b.bcol,
+                    "meta": np.array([b.m, b.n, b.nnz, b.nblocks,
+                                      b.num_brows, b.num_bcols],
+                                     dtype=np.int64)}
+
+        d = plan_cache.cached_arrays(a, "bsr", params, build)
+        mt = d["meta"]
+        return BsrBlocks(int(mt[0]), int(mt[1]), int(mt[2]), br, bc,
+                         int(mt[3]), d["blocks"], d["brow"], d["bcol"],
+                         int(mt[4]), int(mt[5]))
+    return _pack_bsr_impl(a, br=br, bc=bc)
+
+
+def _pack_bsr_impl(a: CSR, *, br: int, bc: int) -> BsrBlocks:
     m, n = a.shape
     num_brows = -(-max(m, 1) // br)
     num_bcols = -(-max(n, 1) // bc)
