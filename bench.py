@@ -29,8 +29,14 @@ def child_main():
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # The persistent compile cache usually makes retries cheap — but one
+    # observed tunnel failure mode (2026-08-19) hangs the FIRST computation
+    # whenever the cache dir is set (remote executable serialization RPC
+    # wedges) while cache-off compute still works. The parent therefore
+    # turns the cache off from attempt 2 onward via this env var.
+    if os.environ.get("SBLAS_COMPILE_CACHE", "1") != "0":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from sblas import datasets
     from sblas.bench_lib import bench_spmv
@@ -76,10 +82,11 @@ def child_main():
     return 0
 
 
-def _run_attempt(timeout_s: float, stall_s: float):
+def _run_attempt(timeout_s: float, stall_s: float, use_cache: bool = True):
     """Run the child; return (json_line_or_None, rc, tail). Kills on stall."""
     env = dict(os.environ)
     env[_CHILD_ENV] = "1"
+    env["SBLAS_COMPILE_CACHE"] = "1" if use_cache else "0"
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.abspath(__file__)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
@@ -148,12 +155,16 @@ def main():
     # stall_s only fires while the child is silent (dead tunnel: no device
     # init, no heartbeat); a live child heartbeats every 20 s, so slow
     # compiles are bounded by timeout_s alone.
-    attempts = [(900, 150), (900, 150), (600, 120), (420, 120)]
+    # attempt 1 uses the persistent compile cache; later attempts drop it
+    # (the 2026-08-19 wedge hung every cache-enabled client specifically)
+    attempts = [(900, 150, True), (900, 150, False), (600, 120, False),
+                (420, 120, False)]
     last_tail = ""
-    for i, (timeout_s, stall_s) in enumerate(attempts):
-        print(f"[bench] attempt {i + 1}/{len(attempts)}", file=sys.stderr,
+    for i, (timeout_s, stall_s, use_cache) in enumerate(attempts):
+        print(f"[bench] attempt {i + 1}/{len(attempts)} "
+              f"cache={'on' if use_cache else 'off'}", file=sys.stderr,
               flush=True)
-        json_line, rc, tail = _run_attempt(timeout_s, stall_s)
+        json_line, rc, tail = _run_attempt(timeout_s, stall_s, use_cache)
         last_tail = tail
         if json_line is not None:
             print(json_line, flush=True)

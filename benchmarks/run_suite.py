@@ -7,6 +7,7 @@ Usage: python benchmarks/run_suite.py [--quick]
 """
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -14,8 +15,12 @@ from pathlib import Path
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# SBLAS_COMPILE_CACHE=0 disables the persistent compile cache: one observed
+# axon failure mode (2026-08-19) wedges every cache-enabled client on its
+# first computation while cache-off compute works (see bench.py).
+if os.environ.get("SBLAS_COMPILE_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # fp64 records need jax_enable_x64 (without it jax silently downcasts
 # float64 to f32 — caught round 5: f64 SpMV "validated" at 1e-7). But the
 # flag is global and poisons every int index array to int64, which Mosaic
@@ -53,6 +58,9 @@ def main():
     ap.add_argument("--f64-only", action="store_true",
                     help="run just the fp64 record (x64 flag on; used as a "
                          "subprocess by the main suite)")
+    ap.add_argument("--graphs-only", action="store_true",
+                    help="run just the power-law graph stage (resume an "
+                         "interrupted suite with --out <same file>)")
     args = ap.parse_args()
 
     out = Path(args.out or Path(__file__).parent / "results" /
@@ -76,6 +84,11 @@ def main():
 
     sbw = stream_bandwidth()
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
+
+    if args.graphs_only:
+        run_graphs(emit)
+        print(f"# wrote {len(records)} records to {out}", flush=True)
+        return
 
     if args.large:
         run_large(emit, web=args.web, only=args.case)
@@ -228,12 +241,34 @@ def main():
         except Exception as e:
             print(f"# sptrsm {name} FAIL: {str(e)[:200]}", flush=True)
 
-    # Config #5 regime: scattered power-law graphs (PSEG fast path).
-    # Scales sized so nnz is in the millions — the @0.01/@0.004 round-3
-    # runs were fixed-overhead-bound (65 us for 6 MB of traffic).
+    if not args.quick:
+        run_graphs(emit)
+
+    # Multi-chip (only meaningful on a real pod slice; the 1-chip axon
+    # tunnel never takes this branch)
+    if jax.device_count() > 1 and not args.quick:
+        try:
+            from sblas.parallel import make_mesh
+
+            a = datasets.emulate("cant", scale=scale, dtype=np.float32)
+            rec = bench_lib.bench_dist_spmv(a, make_mesh(), iters=10)
+            rec.extra["matrix"] = "cant"
+            emit(rec)
+        except Exception as e:
+            print(f"# dist-spmv FAIL: {str(e)[:200]}", flush=True)
+
+    print(f"# wrote {len(records)} records to {out}", flush=True)
+
+
+def run_graphs(emit):
+    """Config #5 regime: scattered power-law graphs (PSEG fast path).
+
+    Scales sized so nnz is in the millions — the @0.01/@0.004 round-3
+    runs were fixed-overhead-bound (65 us for 6 MB of traffic). Factored
+    out so an interrupted suite can resume just this stage
+    (``--graphs-only --out <same file>``).
+    """
     for name, scale in (("uk-2002", 0.05), ("twitter7", 0.02)):
-        if args.quick:
-            break
         try:
             g = datasets.emulate(name, scale=scale, dtype=np.float32)
             rec = bench_lib.bench_spmv(g, method="auto", iters=15)
@@ -253,21 +288,6 @@ def main():
             except Exception as e:
                 print(f"# graph spmm {name} k={kk} FAIL: {str(e)[:200]}",
                       flush=True)
-
-    # Multi-chip (only meaningful on a real pod slice; the 1-chip axon
-    # tunnel never takes this branch)
-    if jax.device_count() > 1 and not args.quick:
-        try:
-            from sblas.parallel import make_mesh
-
-            a = datasets.emulate("cant", scale=scale, dtype=np.float32)
-            rec = bench_lib.bench_dist_spmv(a, make_mesh(), iters=10)
-            rec.extra["matrix"] = "cant"
-            emit(rec)
-        except Exception as e:
-            print(f"# dist-spmv FAIL: {str(e)[:200]}", flush=True)
-
-    print(f"# wrote {len(records)} records to {out}", flush=True)
 
 
 def run_large(emit, web: bool = False, only: str | None = None):
