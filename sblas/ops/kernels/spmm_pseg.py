@@ -35,6 +35,13 @@ _BPG = 256          # 1024-row blocks per y group (test/default geometry)
 _CH = 256           # x2d panels per streamed tail-Xt chunk (multiple of 16)
 _KRES_VMEM_BUDGET = int(12.5 * (1 << 20))   # out block + 2 Xt chunk buffers
 _SMEM_ROUND_CAP = 150_000   # rounds; ~1.2 MB of (wr, ob) prefetch scalars
+# Mosaic double-buffers the y-group OUTPUT block as well as the inputs, so
+# the true scoped-VMEM footprint is ~2*out + 2*chunk + tiles ≈ 1.5x the
+# picker's budget — past XLA's default 16 MiB scoped limit at K=32 (uk-2002
+# @0.05 hit 19.25M and failed remote-compile).  v5e has 128 MiB VMEM; raise
+# the per-kernel limit instead of shrinking the geometry (smaller groups =
+# more pad segments = more streamed bytes).
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * (1 << 20))
 
 
 def _pick_kres_geometry(w, kh: int):
@@ -526,6 +533,7 @@ class PallasSpmmScattered:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((kc * w.y_rows, LANES),
                                            jnp.float32),
+            compiler_params=_VMEM_LIMIT,
             interpret=on_cpu(),
         )
         self._calls[key] = call
@@ -568,6 +576,7 @@ class PallasSpmmScattered:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((gspan * kc * gy, LANES),
                                            jnp.float32),
+            compiler_params=_VMEM_LIMIT,
             interpret=on_cpu(),
         )
         self._calls[key] = call
