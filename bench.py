@@ -60,9 +60,13 @@ def child_main():
     print("[bench] building matrix", file=sys.stderr, flush=True)
     a = datasets.emulate("cant", dtype=np.float32)
     print("[bench] running spmv bench", file=sys.stderr, flush=True)
-    rec = bench_spmv(a, method="auto", validate=True, iters=25)
+    # interleaved ratio protocol: 5 back-to-back (kernel, STREAM) pairs,
+    # median of per-pair ratios — same statistic on both sides, cancels the
+    # ±3-7% chip-clock common mode (bench_lib.bench_spmv docstring)
+    rec = bench_spmv(a, method="auto", validate=True, iters=25,
+                     ratio_pairs=5)
     stream = rec.extra.get("stream_gbps") or stream_bandwidth()
-    pct = 100.0 * rec.gbps / stream
+    pct = rec.extra.get("pct_stream", 100.0 * rec.gbps / stream)
     out = {
         "metric": "spmv_hbm_bw_utilization_cant_f32",
         "value": round(pct, 2),
@@ -75,6 +79,8 @@ def child_main():
             "seconds_per_iter": rec.seconds_per_iter,
             "method": rec.extra.get("method"),
             "rel_err_vs_scipy": rec.extra.get("rel_err"),
+            "protocol": rec.extra.get("protocol"),
+            "ratio_pairs": rec.extra.get("ratio_pairs"),
             "device": str(jax.devices()[0]),
         },
     }

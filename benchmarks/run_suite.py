@@ -100,20 +100,14 @@ def main():
     scale = 1.0
 
     # Config #1: SpMV over the FEM suite, f32 fast path + f64 correctness.
-    # pdb1HYS runs a median-of-5 protocol: its same-code repeat wobble is
-    # ±3-7% (e27) and straddles the 80%-of-STREAM bar, so a single sample
-    # proves nothing either way (VERDICT r2 item 5a).
+    # All rows use the interleaved ratio protocol: same-code repeat wobble
+    # is ±3-7% (e27) and cant/pdb1HYS straddle the 80%-of-STREAM bar, so a
+    # lone kernel sample against a process-cached STREAM proves nothing
+    # either way (VERDICT r2 item 5a; bench_lib.bench_spmv docstring).
     for name in fem:
         a = datasets.emulate(name, scale=scale, dtype=np.float32)
-        reps = 5 if name == "pdb1HYS" else 1
-        recs = [bench_lib.bench_spmv(a, method="auto", iters=25)
-                for _ in range(reps)]
-        recs.sort(key=lambda r: r.seconds_per_iter)
-        rec = recs[len(recs) // 2]
-        if reps > 1:
-            rec.extra["protocol"] = f"median-of-{reps}"
-            rec.extra["repeat_us"] = [round(r.seconds_per_iter * 1e6, 2)
-                                      for r in recs]
+        rec = bench_lib.bench_spmv(a, method="auto", iters=25,
+                                   ratio_pairs=5)
         rec.extra["matrix"] = name
         emit(rec)
 

@@ -119,15 +119,19 @@ _STREAM_CACHE: dict = {}
 
 
 def stream_bandwidth(nbytes_per_array: int = 256 * (1 << 20),
-                     dtype=jnp.float32) -> float:
+                     dtype=jnp.float32, *, fresh: bool = False) -> float:
     """Measured STREAM-triad bandwidth (GB/s) on the default device.
 
     This is the denominator of the north-star "% of STREAM-equivalent BW"
     metric — measured on the same chip with the same harness rather than
     assuming the 819 GB/s paper number.
+
+    ``fresh=True`` bypasses (and refreshes) the per-process cache — used by
+    the interleaved ratio protocol, which pairs each kernel sample with an
+    adjacent STREAM sample so slow chip drift cancels in the ratio.
     """
     key = (nbytes_per_array, str(dtype), str(jax.devices()[0]))
-    if key in _STREAM_CACHE:
+    if not fresh and key in _STREAM_CACHE:
         return _STREAM_CACHE[key]
     n = nbytes_per_array // jnp.dtype(dtype).itemsize
     b = jnp.full((n,), 1.0, dtype)
