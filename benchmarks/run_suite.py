@@ -181,6 +181,15 @@ def main():
             emit(rec)
         except Exception as e:
             print(f"# sptrsv chol f64 ds FAIL: {str(e)[:300]}", flush=True)
+        # f64-class SpTRSM (VERDICT r3 item 5): lanes wavefront shares one
+        # schedule pass across 8 RHS, ds refinement in slot space
+        try:
+            rec = bench_lib.bench_sptrsm(l64, 8, iters=8,
+                                         method="pallas_ds")
+            rec.extra["matrix"] = "band-parallel-f64"
+            emit(rec)
+        except Exception as e:
+            print(f"# sptrsm f64 ds FAIL: {str(e)[:300]}", flush=True)
 
     # Config #2: SpMM K=8/32 over the full FEM set (every README row must
     # have a committed record; VERDICT r1 item 1)
@@ -265,7 +274,8 @@ def run_graphs(emit):
     for name, scale in (("uk-2002", 0.05), ("twitter7", 0.02)):
         try:
             g = datasets.emulate(name, scale=scale, dtype=np.float32)
-            rec = bench_lib.bench_spmv(g, method="auto", iters=15)
+            rec = bench_lib.bench_spmv(g, method="auto", iters=15,
+                                       ratio_pairs=5)
             rec.extra["matrix"] = f"{name}@{scale}"
             emit(rec)
         except Exception as e:
@@ -276,7 +286,8 @@ def run_graphs(emit):
         # VERDICT r2 item 7)
         for kk in (8, 32):
             try:
-                rec = bench_lib.bench_spmm(g, kk, method="auto", iters=8)
+                rec = bench_lib.bench_spmm(g, kk, method="auto", iters=8,
+                                           ratio_pairs=3)
                 rec.extra["matrix"] = f"{name}@{scale}"
                 emit(rec)
             except Exception as e:
@@ -346,7 +357,11 @@ def run_large(emit, web: bool = False, only: str | None = None):
             t0 = _t.time()
             SpmvPlan(a, "auto")
             warm = _t.time() - t0
-            rec = bench_lib.bench_spmv(a, method="auto", iters=10)
+            # large rows carry ratio_pairs too (VERDICT r3 item 8): the
+            # runs are minutes long, so clock drift between the kernel
+            # sample and a process-cached STREAM is at its worst here
+            rec = bench_lib.bench_spmv(a, method="auto", iters=10,
+                                       ratio_pairs=5)
             rec.extra.update(matrix=name, gen_seconds=round(gen_s, 2),
                              pack_seconds_cold=round(cold, 2),
                              pack_seconds_warm=round(warm, 2))
@@ -358,7 +373,8 @@ def run_large(emit, web: bool = False, only: str | None = None):
         # k-aware dense routing wins 4.25x over passes — e30)
         for kk in (8, 32):
             try:
-                rec = bench_lib.bench_spmm(a, kk, method="auto", iters=4)
+                rec = bench_lib.bench_spmm(a, kk, method="auto", iters=4,
+                                           ratio_pairs=3)
                 rec.extra["matrix"] = name
                 emit(rec)
             except Exception as e:

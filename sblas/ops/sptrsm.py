@@ -284,6 +284,13 @@ def sptrsm(l, b, *, lower: bool = True, unit_diagonal: bool = False,
 
             plans[key] = SptrsmJacobiPlan(
                 l, lower=lower, unit_diagonal=unit_diagonal, **kw)
+        elif method == "pallas_ds":
+            # f64-class (opt-in): lanes wavefront + slot-space ds
+            # refinement, 8 RHS per solve pass (VERDICT r3 item 5)
+            from .kernels.sptrsv_ds import PallasSptrsmDS
+
+            plans[key] = PallasSptrsmDS(
+                l, lower=lower, unit_diagonal=unit_diagonal, **kw)
         else:
             plans[key] = SptrsmPlan(l, lower=lower,
                                     unit_diagonal=unit_diagonal,

@@ -72,3 +72,48 @@ def test_spmm_ds_apply_pure_raises():
     p = SpmmPlan(a, "pallas_ds", k_hint=4)
     with pytest.raises(ValueError, match="planes"):
         p.apply_pure(p.device_arrays(), np.zeros((640, 4), np.float32))
+
+
+def test_sptrsm_ds_band_accuracy():
+    from sblas.golden import sptrsm_golden
+    from sblas.ops.sptrsm import sptrsm
+
+    l = datasets.lower_triangular(600, 6, bandwidth=60, seed=6,
+                                  dtype=np.float64)
+    b = np.random.default_rng(4).standard_normal((600, 8))
+    x = sptrsm(l, b, method="pallas_ds")
+    assert x.dtype == np.float64
+    assert rel_err(x, sptrsm_golden(l, b)) < 1e-12
+
+
+def test_sptrsm_ds_chol_factor_partial_chunk():
+    # k=5 pads the 8-wide lanes chunk; padded columns must stay zero
+    from sblas.golden import sptrsm_golden
+    from sblas.ops.kernels.sptrsv_ds import PallasSptrsmDS
+
+    spd = datasets.poisson2d_nd(14, dtype=np.float64)
+    l = datasets.cholesky_factor(spd, dtype=np.float64)
+    b = np.random.default_rng(5).standard_normal((l.shape[0], 5))
+    x = PallasSptrsmDS(l)(b)
+    assert x.shape == (l.shape[0], 5)
+    assert rel_err(x, sptrsm_golden(l, b)) < 1e-12
+
+
+def test_sptrsm_ds_multi_chunk_and_unit_diag():
+    # k=12 -> two lanes chunks; unit diagonal materialized in Ls
+    from sblas.golden import sptrsm_golden
+    from sblas.ops.sptrsm import sptrsm
+
+    l = datasets.lower_triangular(400, 5, bandwidth=40, seed=7,
+                                  dtype=np.float64, unit_diagonal=True)
+    b = np.random.default_rng(6).standard_normal((400, 12))
+    x = sptrsm(l, b, method="pallas_ds", unit_diagonal=True)
+    assert rel_err(x, sptrsm_golden(l, b, unit_diagonal=True)) < 1e-12
+
+
+def test_sptrsm_ds_rejects_f32():
+    from sblas.ops.kernels.sptrsv_ds import PallasSptrsmDS
+
+    l = datasets.lower_triangular(300, 5, seed=8, dtype=np.float32)
+    with pytest.raises(ValueError, match="f64"):
+        PallasSptrsmDS(l)

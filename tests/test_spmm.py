@@ -320,11 +320,13 @@ def test_spmm_auto_chain_to_pseg():
         be._BACKEND = saved
 
 
-def test_spmm_auto_band_scattered_routes_to_spmv_passes():
-    # e29 (band1500-100K, chip): w-SELL SpMM 2.66 ms vs spmv_passes
-    # 2.16 ms vs pseg 1.99..2.2 ms — every gather SpMM pays ~k SpMV
-    # passes, so auto sends w-SELL-eligible matrices (BSR density too low
-    # for the dense-block paths) to k DMA-bound SpMV passes.
+def test_spmm_auto_band_scattered_k_aware_routing():
+    # e30 (band1500-100K, chip): the density cutoff is k-aware — dense
+    # blocks stream once for all k RHS while passes pay k * ~6/fill B/nnz.
+    # At density 0.034 / fill ~0.42 the cutoff ~0.53*fill/k accepts BSR-T
+    # for k=8 (measured 1707 vs 2021 us) but refuses k=2, which falls to
+    # the e29 frontier: w-SELL-eligible matrices run k DMA-bound SpMV
+    # passes (2.16 ms vs 2.66 for the w-SELL SpMM kernel at k=8).
     import sblas.utils.backend as be
 
     a = datasets.random_csr(20_000, 20_000, 112, bandwidth=1500, seed=7,
@@ -332,11 +334,61 @@ def test_spmm_auto_band_scattered_routes_to_spmv_passes():
     saved = be._BACKEND
     be._BACKEND = "tpu"
     try:
-        plan = SpmmPlan(a, "auto", k_hint=8)
-        assert plan.method == "spmv_passes"
-        assert plan._spmv.method == "pallas"
+        plan8 = SpmmPlan(a, "auto", k_hint=8)
+        assert plan8.method == "bsr_pallas_t"
+        assert "bsr_pallas_t" in plan8.route_reason
+        plan2 = SpmmPlan(a, "auto", k_hint=2)
+        assert plan2.method == "spmv_passes"
+        assert plan2._spmv.method == "pallas"
+        assert "spmv_passes" in plan2.route_reason
     finally:
         be._BACKEND = saved
+
+
+def test_spmm_auto_pseg_cost_route_to_passes(monkeypatch):
+    # scale-aware route pick (VERDICT r3 item 2): when the kres-PSEG bytes
+    # model is not clearly below k SpMV passes priced from the same pack,
+    # auto re-routes to spmv_passes (the powerlaw-1M-102M regime, where
+    # kres measured 1.65-1.89x its own passes bound). Forced here by
+    # dropping the threshold to 0: any scattered matrix flips.
+    import sys
+
+    import jax
+    import sblas.utils.backend as be
+
+    # sblas.ops.__init__ re-exports the spmm FUNCTION over the module
+    # attribute; fetch the module itself for the monkeypatch
+    spmm_mod = sys.modules["sblas.ops.spmm"]
+
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    saved = be._BACKEND
+    be._BACKEND = "tpu"
+    monkeypatch.setattr(spmm_mod, "_KRES_PASSES_CUT", 0.0)
+    try:
+        plan = SpmmPlan(g, "auto", k_hint=8)
+        assert plan.method == "spmv_passes"
+        assert plan._spmv.method == "pseg"
+        assert ">=" in plan.route_reason
+    finally:
+        be._BACKEND = saved
+    # the re-routed shape must be correct end-to-end, including the hoisted
+    # permutes around the k-pass loop — rebuilt on the real CPU backend so
+    # the pseg kernel runs in interpret mode
+    plan = SpmmPlan(g, "spmv_passes", k_hint=4, spmv_method="pseg")
+    assert plan._spmv.method == "pseg"
+    x = np.random.default_rng(5).standard_normal(
+        (g.shape[1], 4)).astype(np.float32)
+    y = np.asarray(jax.jit(plan.apply_pure)(plan.device_arrays(), x))
+    assert rel_err(y, spmm_golden(g, x)) < 2e-5
+    # permuted space round-trips through the same column passes:
+    # y = y_perm[rowinv] (the two gathers iterative users amortize)
+    ps = plan._spmv._pallas
+    xp = jnp.asarray(x[np.asarray(ps.colperm), :])
+    yp = np.asarray(jax.jit(plan.apply_permuted)(plan.device_arrays(), xp))
+    rowperm = np.asarray(ps.rowperm)
+    inv_row = np.empty(g.shape[0], dtype=np.int64)
+    inv_row[rowperm] = np.arange(g.shape[0])
+    assert rel_err(yp[inv_row, :], y) < 1e-6
 
 
 def test_spmm_spmv_passes_method():
