@@ -139,13 +139,17 @@ extern "C" int64_t sblas_pack_wsell_f32(
     int32_t* obase_out) {
   const int32_t LANES_ = 128;
   const int32_t SUBL = 8;
+  // sub must divide the lane count and fit the cursor buffers below; a
+  // sub=32 call once smashed the old fixed pos[8*16] stack arrays
+  // (rpb=256 cursors) and segfaulted on the clobbered output pointers.
+  if (sub < 1 || sub > 128 || LANES_ % sub != 0) return -2;
   const int32_t lps = LANES_ / sub;
   const int64_t rpb = (int64_t)SUBL * sub;
   const int64_t nblocks = (m + rpb - 1) / rpb;
   int64_t nrounds = 0;
 
-  int64_t pos[8 * 16];  // cursors, rpb <= 128
-  int64_t end[8 * 16];
+  int64_t pos[8 * 128];  // cursors, rpb <= 1024 (sub <= 128)
+  int64_t end[8 * 128];
 
   for (int64_t blk = 0; blk < nblocks; ++blk) {
     const int64_t r0 = blk * rpb;

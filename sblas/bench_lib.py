@@ -54,7 +54,8 @@ def _attach_stream(rec: BenchRecord) -> None:
 
 def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
                iters: int = 25, with_stream_pct: bool = True,
-               value_dtype=None, ratio_pairs: int = 0) -> BenchRecord:
+               value_dtype=None, ratio_pairs: int = 0,
+               geometry=None) -> BenchRecord:
     """One SpMV benchmark record.
 
     ``ratio_pairs=N`` (N>1) switches pct_stream to the interleaved ratio
@@ -70,7 +71,8 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
     if m != n:
         raise ValueError("bench uses square matrices (carry feedback)")
     with jax.profiler.TraceAnnotation("retile"):
-        plan = SpmvPlan(a, method, value_dtype=value_dtype)
+        plan = SpmvPlan(a, method, value_dtype=value_dtype,
+                        geometry=geometry)
     rng = np.random.default_rng(0)
     with jax.profiler.TraceAnnotation("H2D"):
         x0 = jnp.asarray(rng.standard_normal(n).astype(a.dtype))
@@ -78,6 +80,8 @@ def bench_spmv(a: CSR, *, method: str = "auto", validate: bool = True,
     extra = {"method": plan.method, "nnz": a.nnz, "m": m,
              "dtype": str(np.dtype(a.dtype)),
              "fill": getattr(plan, "fill", 1.0)}
+    if geometry:
+        extra["geometry"] = dict(geometry)
     tol = default_tol(a.dtype)
     if value_dtype is not None:
         extra["value_dtype"] = str(np.dtype(value_dtype))

@@ -200,6 +200,9 @@ def pack_wsell_rounds_f32(indptr, indices, data, m, sub, nwin):
         val.ctypes.data_as(f32p), _as_i32p(lcol), _as_i32p(wrow),
         _as_i32p(obase),
     )
+    if n == -2:
+        raise ValueError(f"w-SELL packer: unsupported sub={sub} "
+                         "(must divide 128)")
     if n < 0:
         raise RuntimeError("w-SELL packer under-allocated (bug)")
     return int(n), val[: n * 8], lcol[: n * 8], wrow[:n], obase[:n]

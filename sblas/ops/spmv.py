@@ -75,11 +75,15 @@ class SpmvPlan:
     """Retiled device-resident SpMV executor for one CSR matrix."""
 
     def __init__(self, a, method: str = "auto", *, max_width: int = 2048,
-                 value_dtype=None, min_fill=None):
+                 value_dtype=None, min_fill=None, geometry=None):
         from .common import as_csr
 
         a = as_csr(a)
         fill_kw = {} if min_fill is None else {"min_fill": min_fill}
+        # Per-matrix w-SELL geometry override (th/sub/wgroup/nwin), e.g. the
+        # e35 consph pick. Applies to the w-SELL Pallas path only; other
+        # routes ignore it (their packers own their geometry).
+        self._geometry = dict(geometry) if geometry else {}
         self._value_dtype = value_dtype  # bf16 value stream (pallas paths)
         self.shape = a.shape
         self.dtype = a.dtype
@@ -94,7 +98,7 @@ class SpmvPlan:
                 from .kernels.spmv_pallas import PallasSpmv
 
                 self._pallas = PallasSpmv(a, value_dtype=value_dtype,
-                                          **fill_kw)
+                                          **fill_kw, **self._geometry)
                 self.method = "pallas"
                 self.fill = self._pallas.layout.fill
                 self.bytes_per_iter = self._pallas.bytes_per_iter
@@ -189,7 +193,7 @@ class SpmvPlan:
             from .kernels.spmv_pallas import PallasSpmv
 
             self._pallas = PallasSpmv(a, value_dtype=value_dtype,
-                                      **fill_kw)
+                                      **fill_kw, **self._geometry)
             self.fill = self._pallas.layout.fill
             self.bytes_per_iter = self._pallas.bytes_per_iter
         elif method == "pallas_ds":

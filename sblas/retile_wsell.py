@@ -354,6 +354,11 @@ def _pack_wsell_impl(a: CSR, *, th: int, sub: int, nwin: int,
     m, n = a.shape
     if sub <= 0:
         sub = pick_sub(a)
+    if sub > 128 or 128 % sub:
+        # both packers assume lps = 128/sub integral; the native one also
+        # sizes its cursor buffers from it (sub=32 segfaulted before the
+        # bound was raised + checked — e35)
+        raise ValueError(f"w-SELL: sub={sub} must divide 128")
     # refuse shattered packings BEFORE the round builder sizes its output
     # from the chunk count (powerlaw-1M: 63M rounds = 258 GiB right here)
     check_shattered(estimate_rounds(a, sub), a.nnz)

@@ -118,3 +118,19 @@ def test_pallas_sptrsv_host_path():
     x2d = jax.jit(p.solve_permuted)(p.device_arrays(), b2d)
     x = p.x2d_to_x(np.asarray(x2d))
     assert rel_err(x, sptrsv_golden(l, b)) < 5e-4
+
+
+@pytest.mark.parametrize("sub", [32, 64])
+def test_pack_tall_sub(sub):
+    # sub>16 once overflowed the native packer's fixed cursor buffers and
+    # segfaulted on the smashed output pointers (e35's sub=32 combo); the
+    # bound is now 128 with an explicit divides-128 check either side
+    a = datasets.random_csr(600, 600, 12, bandwidth=80, seed=5)
+    w = pack_wsell(a, sub=sub, cache=False)
+    np.testing.assert_allclose(wsell_to_dense(w), a.todense())
+
+
+def test_pack_rejects_bad_sub():
+    a = datasets.random_csr(64, 64, 4, bandwidth=8, seed=3)
+    with pytest.raises(ValueError, match="sub"):
+        pack_wsell(a, sub=24, cache=False)
