@@ -104,10 +104,19 @@ def main():
     # is ±3-7% (e27) and cant/pdb1HYS straddle the 80%-of-STREAM bar, so a
     # lone kernel sample against a process-cached STREAM proves nothing
     # either way (VERDICT r2 item 5a; bench_lib.bench_spmv docstring).
+    #
+    # consph: per-matrix w-SELL geometry from the e35 sweep — wgroup=2
+    # halves the window-group padding on its heavy rows (fill 0.521 ->
+    # 0.578) AND cuts wall time 115.5 -> 103.5 us; 9 ratio pairs because
+    # consph's identical-config medians wobble +-1.7 pts around the 80%
+    # bar (e35 measured the same auto config at 79.4 and 82.7).
+    fem_geometry = {"consph": {"sub": 16, "wgroup": 2}}
+    fem_pairs = {"consph": 9}
     for name in fem:
         a = datasets.emulate(name, scale=scale, dtype=np.float32)
         rec = bench_lib.bench_spmv(a, method="auto", iters=25,
-                                   ratio_pairs=5)
+                                   ratio_pairs=fem_pairs.get(name, 5),
+                                   geometry=fem_geometry.get(name))
         rec.extra["matrix"] = name
         emit(rec)
 

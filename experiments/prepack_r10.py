@@ -40,17 +40,23 @@ from sblas.plan_cache import cached_matrix  # noqa: E402
 from sblas.ops.spmv import SpmvPlan  # noqa: E402
 from sblas.ops.spmm import SpmmPlan  # noqa: E402
 
+# (case, generator, spmv method, spmm method or None)
+# Methods are FORCED to the routes the TPU auto-pick takes: on the CPU
+# backend both _picks fall back to the XLA heuristic (bucket), which would
+# warm the wrong cache entries (first prepack attempt did exactly that).
+# powerlaw's SpMM routes to spmv_passes (e34 cost cut), which reuses the
+# SpMV pseg pack — nothing extra to warm.
 CASES = [
     ("uk-2002-full", lambda: datasets.emulate(
-        "uk-2002", scale=1.0, dtype=np.float32)),
+        "uk-2002", scale=1.0, dtype=np.float32), "pseg_big", "pseg"),
     ("powerlaw-1M-102M", lambda: datasets.powerlaw_graph(
-        1_000_000, avg_deg=120, seed=7, dtype=np.float32)),
+        1_000_000, avg_deg=120, seed=7, dtype=np.float32), "pseg", None),
     ("fem-band-1M-112M", lambda: datasets.random_csr(
         1_000_000, 1_000_000, 112, bandwidth=1500, seed=7,
-        dtype=np.float32)),
+        dtype=np.float32), "pallas", "bsr_pallas_t"),
     ("fem-cluster-1M-109M", lambda: datasets.random_csr(
         1_000_000, 1_000_000, 130, bandwidth=180, seed=11,
-        dtype=np.float32)),
+        dtype=np.float32), "pallas", "bsr_pallas_t"),
 ]
 
 
@@ -61,27 +67,28 @@ def stamp(msg, t0):
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
     t0 = time.time()
-    for name, gen in CASES:
+    for name, gen, spmv_m, spmm_m in CASES:
         if only and only not in name:
             continue
         a = cached_matrix(f"suite-large-{name}", gen)
         stamp(f"{name}: matrix nnz={a.nnz}", t0)
         try:
-            p = SpmvPlan(a, "auto")
-            stamp(f"{name}: spmv plan method={p.method}", t0)
+            p = SpmvPlan(a, spmv_m)
+            stamp(f"{name}: spmv[{spmv_m}] plan method={p.method}", t0)
             del p
             gc.collect()
         except Exception as e:
-            stamp(f"{name}: spmv plan FAIL {str(e)[:200]}", t0)
-        for k in (8, 32):
+            stamp(f"{name}: spmv[{spmv_m}] plan FAIL {str(e)[:200]}", t0)
+        for k in () if spmm_m is None else (8, 32):
             try:
-                p = SpmmPlan(a, "auto", k_hint=k)
-                stamp(f"{name}: spmm k={k} plan method={p.method} "
-                      f"({getattr(p, 'route_reason', '')})", t0)
+                p = SpmmPlan(a, spmm_m, k_hint=k)
+                stamp(f"{name}: spmm[{spmm_m}] k={k} plan "
+                      f"method={p.method}", t0)
                 del p
                 gc.collect()
             except Exception as e:
-                stamp(f"{name}: spmm k={k} plan FAIL {str(e)[:200]}", t0)
+                stamp(f"{name}: spmm[{spmm_m}] k={k} plan FAIL "
+                      f"{str(e)[:200]}", t0)
         del a
         gc.collect()
 
