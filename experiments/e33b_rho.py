@@ -23,10 +23,15 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# SBLAS_COMPILE_CACHE=0 honours bench.py's cache kill switch: one axon
+# failure mode wedges cache-enabled clients on their first computation
+if os.environ.get("SBLAS_COMPILE_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sblas_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp
 
