@@ -539,9 +539,19 @@ class SpmmPlan:
         if self.method != "pseg":
             candidates.append(("pseg", {"k_hint": k}))
         elif getattr(self._pallas, "_kres", False):
-            # a k-resident compile failure at call time falls back to the
-            # proven whole-VMEM kc-chunked executor, not the XLA paths
-            candidates.append(("pseg", {"k_hint": k, "kres": False}))
+            # a k-resident compile failure at call time: the whole-VMEM
+            # kc-chunked executor is only the right fallback while the
+            # whole k fits one chunk. When kc < k it runs ceil(k/kc) FULL
+            # schedule passes through the wider SpMM gather body —
+            # measured strictly dominated by k passes of the tuned SpMV
+            # kernel (powerlaw-1M-102M K=8: 42.3 ms vs 25.7 ms of passes,
+            # suite_r9/r10_large; same 1.65-1.89x at K=32), so route to
+            # spmv_passes first at that scale (VERDICT r3 items 2/weak-1).
+            if self._pallas._k_chunk() >= min(k, 8):
+                candidates.append(("pseg", {"k_hint": k, "kres": False}))
+            else:
+                candidates.append(("spmv_passes", {"k_hint": k}))
+                candidates.append(("pseg", {"k_hint": k, "kres": False}))
         for meth, kw in candidates:
             try:
                 fb = SpmmPlan(self._csr, meth,
@@ -550,7 +560,7 @@ class SpmmPlan:
                 # at call time is skipped here instead
                 if meth == "bsr_pallas_t":
                     fb._pallas._get_calls(k)
-                elif meth != "pseg":
+                elif meth not in ("pseg", "spmv_passes"):
                     fb._pallas._get_call(k)
                 break
             except (ValueError, RuntimeError):
