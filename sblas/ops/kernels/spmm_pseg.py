@@ -34,7 +34,12 @@ from .spmv_pseg import hub_relabel, split_heavy_rows
 _BPG = 256          # 1024-row blocks per y group (test/default geometry)
 _CH = 256           # x2d panels per streamed tail-Xt chunk (multiple of 16)
 _KRES_VMEM_BUDGET = int(12.5 * (1 << 20))   # out block + 2 Xt chunk buffers
-_SMEM_ROUND_CAP = 150_000   # rounds; ~1.2 MB of (wr, ob) prefetch scalars
+# v5e SMEM is a HARD 1.00 MiB (e36: powerlaw-1M's single 126048-round tail
+# range compiled to "Used 1.00M of 1.00M smem. Exceeded smem capacity by
+# 1.1K" — 2 x 496K (wr, ob) + 2 x 16K per-tile scalars). Cap rounds so a
+# range's scalars fit with margin: 8 B/round + 8 B/tile (tile = ns rounds,
+# ns >= 32) + 4 KiB operand padding => 112K rounds = ~924 KiB worst case.
+_SMEM_ROUND_CAP = 112_000
 # Mosaic double-buffers the y-group OUTPUT block as well as the inputs, so
 # the true scoped-VMEM footprint is ~2*out + 2*chunk + tiles ≈ 1.5x the
 # picker's budget — past XLA's default 16 MiB scoped limit at K=32 (uk-2002
