@@ -345,6 +345,34 @@ def test_spmm_auto_band_scattered_k_aware_routing():
         be._BACKEND = saved
 
 
+def test_spmm_auto_pseg_cost_route_shipped_threshold():
+    # VERDICT r4 item 2: prove the SHIPPED _KRES_PASSES_CUT (0.30) flips
+    # the route with no monkeypatching. Same scattered matrix, routed by
+    # k_hint: at k=1/k=2 the whole-VMEM executor runs one pass either way
+    # so the pseg/passes bytes ratio sits near 1/k >= 0.5 -> re-route to
+    # spmv_passes; at k=8 the single kc=8 pass prices ~1/8 of passes
+    # (< 0.30) -> stays pseg. This covers both sides of the threshold at
+    # its shipped value (the old test forced CUT=0 and only proved the
+    # mechanism).
+    import sblas.utils.backend as be
+    from sblas.ops.spmm import _KRES_PASSES_CUT
+
+    assert _KRES_PASSES_CUT == 0.30   # test is calibrated to the shipped cut
+    g = datasets.emulate("uk-2002", scale=0.003, dtype=np.float32)
+    saved = be._BACKEND
+    be._BACKEND = "tpu"
+    try:
+        for k in (1, 2):
+            plan = SpmmPlan(g, "auto", k_hint=k)
+            assert plan.method == "spmv_passes", (k, plan.route_reason)
+            assert ">= 0.3" in plan.route_reason
+        plan8 = SpmmPlan(g, "auto", k_hint=8)
+        assert plan8.method == "pseg", plan8.route_reason
+        assert "< 0.3" in plan8.route_reason
+    finally:
+        be._BACKEND = saved
+
+
 def test_spmm_auto_pseg_cost_route_to_passes(monkeypatch):
     # scale-aware route pick (VERDICT r3 item 2): when the kres-PSEG bytes
     # model is not clearly below k SpMV passes priced from the same pack,
