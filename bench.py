@@ -161,10 +161,16 @@ def main():
     # stall_s only fires while the child is silent (dead tunnel: no device
     # init, no heartbeat); a live child heartbeats every 20 s, so slow
     # compiles are bounded by timeout_s alone.
-    # attempt 1 uses the persistent compile cache; later attempts drop it
-    # (the 2026-08-19 wedge hung every cache-enabled client specifically)
-    attempts = [(900, 150, True), (900, 150, False), (600, 120, False),
-                (420, 120, False)]
+    # ALL attempts now run cache-off (round-11 flip): the cache-on attempt 1
+    # was timeout-killed at 900 s while heartbeating in BOTH the r03 and r04
+    # driver runs (BENCH_r0{3,4}.json tails), always under driver-boot
+    # conditions (fresh /tmp, first-write serialization path), while the
+    # same-session suites run cache-on without issue — see DESIGN.md
+    # round-11. bench.py compiles ONE kernel (~30 s), so the cache saves
+    # nothing worth a 15-minute first-attempt loss. Attempt 4 keeps cache-on
+    # as a last-resort diversity fallback.
+    attempts = [(900, 150, False), (900, 150, False), (600, 120, False),
+                (420, 120, True)]
     last_tail = ""
     for i, (timeout_s, stall_s, use_cache) in enumerate(attempts):
         print(f"[bench] attempt {i + 1}/{len(attempts)} "
