@@ -375,6 +375,99 @@ def _kernel_kres(th, kc, gy_rows, tail: bool):
     return kern
 
 
+# Persist the full kres build (relabel -> heavy-row split -> hybrid pack ->
+# geometry -> regroup -> range split) above this nnz: the chain is host
+# numpy, deterministic given (matrix digest, th, kh, caps), and costs
+# minutes at web scale — uk-2002-full's r10 "warm" SpmvPlan was 407 s
+# because only the pack step was cached (VERDICT r4 item 1's 120 s bar).
+_KRES_CACHE_MIN_NNZ = 5_000_000
+
+
+class _KresNotApplicable(Exception):
+    """Raised inside the cached-bundle builder when the auto decision says
+    whole-VMEM / non-hybrid; the caller falls through to the uncached path."""
+
+
+class _KresLayoutStats:
+    """Stand-in for a PsegLayout on kres cache hits — carries exactly the
+    fields the executor (th, n_stragglers), bench drivers (fill, num_tiles,
+    th), and the SpMM routing model (bytes_per_iter, val.size) read."""
+
+    class _Arr:
+        __slots__ = ("size",)
+
+        def __init__(self, size):
+            self.size = int(size)
+
+    def __init__(self, th, x2d_rows, y_rows, fill, bytes_per_iter,
+                 n_stragglers, n_hub_rounds, num_tiles, val_size):
+        self.th = int(th)
+        self.x2d_rows = int(x2d_rows)
+        self.y_rows = int(y_rows)
+        self.fill = float(fill)
+        self.bytes_per_iter = float(bytes_per_iter)
+        self.n_stragglers = int(n_stragglers)
+        self.n_hub_rounds = int(n_hub_rounds)
+        self.num_tiles = int(num_tiles)
+        self.val = self._Arr(val_size)
+
+
+def _build_kres_bundle(a: CSR, th: int, kh: int) -> dict:
+    """Cold build of the flat kres-plan bundle for plan_cache.cached_arrays.
+
+    Raises _KresNotApplicable when the auto route would pick the whole-VMEM
+    executor (kh <= kc_whole) or the hybrid pack is unavailable — those
+    cases take the uncached __init__ path unchanged."""
+    m, n = a.shape
+    ap, colperm, rowperm = hub_relabel(a)
+    ap, vown = split_heavy_rows(ap)
+    m2 = ap.shape[0]
+    w = pack_pseg_hybrid(ap, th=th)
+    if w is None or w.n_hub_rounds < 0:
+        raise _KresNotApplicable("no hybrid pack")
+    per_k = (w.x2d_rows + w.y_rows) * LANES * 4
+    # stored for the LOAD-time auto decision (kres=None callers ignore the
+    # bundle when the whole-VMEM chunk already serves kh; forced kres=True
+    # callers — e.g. pseg_big SpMV at kh=1 — use it regardless)
+    kc_whole = int(max(min(12 * (1 << 20) // per_k, 8), 1))
+    kc, bpg, ch = _pick_kres_geometry(w, kh)
+    hub, tail, G, xrp = _regroup_kres(w, bpg, ch)
+    ns = w.th // SUBLANES
+    ranges, gspan = _split_kres_ranges(hub, tail, G, ns, _SMEM_ROUND_CAP)
+    del hub, tail
+    store = {
+        "colperm": np.asarray(colperm, dtype=np.int64),
+        "rowperm": np.asarray(rowperm, dtype=np.int64),
+        "srow": np.asarray(w.s_rows),
+        "scol": np.asarray(w.s_cols),
+        "sval": np.asarray(w.s_vals),
+    }
+    if vown is not None:
+        store["vown"] = np.asarray(vown, dtype=np.int32)
+    rmeta = []
+    tiles_total = 0
+    xt_stages = 0
+    for i, (hub_r, tail_r, g0, g1) in enumerate(ranges):
+        ht, tt = hub_r.pop("tiles"), tail_r.pop("tiles")
+        tiles_total += ht + tt
+        xt_stages += len(np.unique(
+            (tail_r["ck"].astype(np.int64) << 32) + tail_r["yg"]))
+        rmeta.append((ht, tt, g0, g1))
+        for kk, v in hub_r.items():
+            store[f"r{i}h_{kk}"] = v
+        for kk, v in tail_r.items():
+            store[f"r{i}t_{kk}"] = v
+    store["rmeta"] = np.asarray(rmeta, dtype=np.int64)
+    store["meta"] = np.asarray(
+        [1, m2, m2 - m, kc, ch, G, bpg * SUBLANES, xrp, gspan, w.th,
+         w.x2d_rows, w.y_rows, w.n_stragglers, w.n_hub_rounds, w.num_tiles,
+         w.val.size, len(ranges), tiles_total, xt_stages, kc_whole],
+        dtype=np.int64)
+    store["metaf"] = np.asarray([w.fill, float(w.bytes_per_iter)],
+                                dtype=np.float64)
+    return store
+
+
 class PallasSpmmScattered:
     """PSEG Pallas SpMM executor with hub relabeling (single chip)."""
 
@@ -391,6 +484,33 @@ class PallasSpmmScattered:
         value_dtype = check_value_dtype(value_dtype)
         self.value_dtype = value_dtype
         m, n = a.shape
+        # Persistent kres-plan cache (round 11): at web scale the host
+        # chain below costs minutes and is deterministic given (digest, th,
+        # kh, caps) — warm hits restore the packed ranges straight from
+        # mmap. Misses that raise _KresNotApplicable (auto route says
+        # whole-VMEM) fall through to the uncached path unchanged.
+        if (kres is not False and kres_geo is None and reorder
+                and hybrid is not False and a.nnz >= _KRES_CACHE_MIN_NNZ
+                and not on_cpu()):
+            from ... import plan_cache
+
+            if plan_cache.cache_enabled():
+                kh0 = min(k_hint or 8, SUBLANES)
+                params = {"v": 1, "th": th, "kh": kh0,
+                          "cap": _SMEM_ROUND_CAP,
+                          "vmem": _KRES_VMEM_BUDGET}
+                try:
+                    d = plan_cache.cached_arrays(
+                        a, "psegk", params,
+                        lambda: _build_kres_bundle(a, th, kh0))
+                except _KresNotApplicable:
+                    d = None
+                if (d is not None and kres is None
+                        and kh0 <= int(np.asarray(d["meta"])[19])):
+                    d = None   # auto route: whole-VMEM chunk serves kh
+                if d is not None:
+                    self._restore_kres(a, d, k_hint, min_fill)
+                    return
         if reorder:
             ap, colperm, rowperm = hub_relabel(a)
         else:
@@ -503,6 +623,72 @@ class PallasSpmmScattered:
         self._srow = jnp.asarray(w.s_rows)
         self._scol = jnp.asarray(w.s_cols)
         self._sval = jnp.asarray(w.s_vals)
+        self._calls = {}
+
+    def _restore_kres(self, a: CSR, d: dict, k_hint, min_fill):
+        """Populate a k-resident plan from a cached bundle (mmap or fresh).
+
+        Mirrors the uncached kres branch of __init__: same device arrays,
+        same bytes model (recomputed for the requested k/value_dtype from
+        the stored tile/stage counts), same ValueError on low fill."""
+        meta = np.asarray(d["meta"])
+        (_ver, m2, n_virtual, kc, ch, G, gy, xrp, gspan, th, x2d_rows,
+         y_rows, n_stragglers, n_hub_rounds, num_tiles, val_size, nranges,
+         tiles_total, xt_stages, _kc_whole) = (int(x) for x in meta)
+        fill, layout_bytes = (float(x) for x in np.asarray(d["metaf"]))
+        if fill < min_fill:
+            raise ValueError(
+                f"PSEG fill {fill:.2f} below {min_fill}; use the XLA path")
+        m, n = a.shape
+        value_dtype = self.value_dtype
+        self.layout = _KresLayoutStats(
+            th, x2d_rows, y_rows, fill, layout_bytes, n_stragglers,
+            n_hub_rounds, num_tiles, val_size)
+        self.shape = a.shape
+        self.dtype = a.dtype
+        self.nnz = a.nnz
+        self._m2 = m2
+        self.n_virtual = n_virtual
+        self._vown = (jnp.asarray(np.asarray(d["vown"]))
+                      if n_virtual else None)
+        colperm = np.asarray(d["colperm"])
+        rowperm = np.asarray(d["rowperm"])
+        self.colperm = colperm
+        self.rowperm = rowperm
+        self._colperm = jnp.asarray(colperm.astype(np.int32))
+        inv_row = np.empty(m, dtype=np.int64)
+        inv_row[rowperm] = np.arange(m)
+        self._rowperm_inv = jnp.asarray(inv_row.astype(np.int32))
+        self._kres = True
+        self._kc = kc
+        self._ch = ch
+        self._kres_geo = (G, gy, xrp, gspan)
+        rmeta = np.asarray(d["rmeta"])
+        self._kranges = []
+        for i in range(nranges):
+            ht, tt, g0, g1 = (int(x) for x in rmeta[i])
+            hub_r = {}
+            for kk in ("val", "lcol", "tsb", "wr", "ob", "yg"):
+                v = d[f"r{i}h_{kk}"]
+                if kk == "val" and v.dtype != value_dtype:
+                    v = np.asarray(v).astype(value_dtype)
+                hub_r[kk] = jnp.asarray(v)
+            tail_r = {}
+            for kk in ("val", "lcol", "tsb", "wr", "ob", "yg", "ck"):
+                v = d[f"r{i}t_{kk}"]
+                if kk == "val" and v.dtype != value_dtype:
+                    v = np.asarray(v).astype(value_dtype)
+                tail_r[kk] = jnp.asarray(v)
+            self._kranges.append((hub_r, tail_r, ht, tt, g0, g1))
+        k_full = k_hint or 8
+        passes = -(-k_full // kc)
+        self.bytes_per_iter = passes * (
+            tiles_total * th * LANES * (value_dtype.itemsize + 4)
+            + xt_stages * ch * LANES * 4 * kc) \
+            + G * k_full * gy * LANES * 4
+        self._srow = jnp.asarray(np.asarray(d["srow"]))
+        self._scol = jnp.asarray(np.asarray(d["scol"]))
+        self._sval = jnp.asarray(np.asarray(d["sval"]))
         self._calls = {}
 
     def _k_chunk(self) -> int:

@@ -187,3 +187,55 @@ def test_kres_matches_standard_path():
     scale = np.abs(ref).max()
     assert np.abs(yk - ref).max() / scale < 2e-5
     assert np.abs(yk - ys).max() / scale < 2e-5
+
+
+def test_kres_bundle_cache_roundtrip(tmp_path, monkeypatch):
+    # round-11 persistent kres-plan cache: a bundle-restored plan must be
+    # byte-identical to the uncached build (host-side equivalence; kernel
+    # execution itself is covered by the other kres tests). Backend forced
+    # to 'tpu' so the not-on_cpu gate opens; nothing touches a device
+    # kernel (construction + device_arrays only).
+    import numpy as np
+
+    import sblas.ops.kernels.spmm_pseg as sp
+    import sblas.plan_cache as pc
+    import sblas.utils.backend as be
+    from sblas import datasets
+
+    # big enough that kc_whole < 8 (per_k > 1.5 MB needs m + n > ~393K)
+    g = datasets.emulate("uk-2002", scale=0.012, dtype=np.float32)
+    saved = be._BACKEND
+    be._BACKEND = "tpu"
+    monkeypatch.setattr(sp, "_KRES_CACHE_MIN_NNZ", 1)
+    monkeypatch.setattr(pc, "_DEFAULT_DIR", str(tmp_path))
+    try:
+        # reference: uncached build (cache disabled via env)
+        monkeypatch.setenv("SBLAS_NO_CACHE", "1")
+        p0 = sp.PallasSpmmScattered(g, k_hint=8, kres=None)
+        assert p0._kres, "test matrix must auto-pick kres"
+        monkeypatch.delenv("SBLAS_NO_CACHE")
+        # cold build through the bundle path (miss -> build -> store)
+        p1 = sp.PallasSpmmScattered(g, k_hint=8, kres=None)
+        assert any(e.name.startswith("psegk-") for e in tmp_path.iterdir())
+        # warm restore (hit -> mmap)
+        p2 = sp.PallasSpmmScattered(g, k_hint=8, kres=None)
+    finally:
+        be._BACKEND = saved
+    for p in (p1, p2):
+        assert p._kres
+        assert p._kc == p0._kc and p._ch == p0._ch
+        assert p._kres_geo == p0._kres_geo
+        assert p.bytes_per_iter == p0.bytes_per_iter
+        assert p.layout.fill == pytest.approx(p0.layout.fill)
+        assert p.layout.n_stragglers == p0.layout.n_stragglers
+        assert len(p._kranges) == len(p0._kranges)
+        for (h, t, ht, tt, g0, g1), (h0, t0, ht0, tt0, g00, g10) in zip(
+                p._kranges, p0._kranges):
+            assert (ht, tt, g0, g1) == (ht0, tt0, g00, g10)
+            for kk in h0:
+                assert np.array_equal(np.asarray(h[kk]), np.asarray(h0[kk]))
+            for kk in t0:
+                assert np.array_equal(np.asarray(t[kk]), np.asarray(t0[kk]))
+        assert np.array_equal(p.colperm, p0.colperm)
+        assert np.array_equal(np.asarray(p._rowperm_inv),
+                              np.asarray(p0._rowperm_inv))
