@@ -36,10 +36,23 @@ _CH = 256           # x2d panels per streamed tail-Xt chunk (multiple of 16)
 _KRES_VMEM_BUDGET = int(12.5 * (1 << 20))   # out block + 2 Xt chunk buffers
 # v5e SMEM is a HARD 1.00 MiB (e36: powerlaw-1M's single 126048-round tail
 # range compiled to "Used 1.00M of 1.00M smem. Exceeded smem capacity by
-# 1.1K" — 2 x 496K (wr, ob) + 2 x 16K per-tile scalars). Cap rounds so a
-# range's scalars fit with margin: 8 B/round + 8 B/tile (tile = ns rounds,
-# ns >= 32) + 4 KiB operand padding => 112K rounds = ~924 KiB worst case.
-_SMEM_ROUND_CAP = 112_000
+# 1.1K" — 2 x 496K (wr, ob) + 2 x 16K per-tile scalars + ~1K compiler
+# slots). The cap must be byte-exact AND th-aware: a blunt 112K-round cap
+# shrank uk-2002-full's kc=1 geometry (smaller per-group budget -> bpg
+# halved -> more groups -> more pad tiles + Xt re-stages) and doubled its
+# SpMV wall clock (66.8 vs 34.8 ms, round-11 measurement).
+_SMEM_BYTES = 1 << 20
+_SMEM_ROUND_CAP = None   # test override; None -> byte-exact per ns
+
+
+def _smem_round_cap(ns: int) -> int:
+    """Max rounds per range whose prefetch scalars fit SMEM: (wr, ob) are
+    s32 per ROUND, (yg, ck) s32 per TILE (= ns rounds), operands padded to
+    4 KiB; 64 KiB margin covers the paddings plus the compiler's own
+    scoped slots. th=256 (ns=32) -> ~119K rounds; th=1024 -> ~122K."""
+    if _SMEM_ROUND_CAP is not None:
+        return _SMEM_ROUND_CAP
+    return int((_SMEM_BYTES - 64 * 1024) // (8 * (1 + 1.0 / ns)))
 # Mosaic double-buffers the y-group OUTPUT block as well as the inputs, so
 # the true scoped-VMEM footprint is ~2*out + 2*chunk + tiles ≈ 1.5x the
 # picker's budget — past XLA's default 16 MiB scoped limit at K=32 (uk-2002
@@ -85,14 +98,25 @@ def _pick_kres_geometry(w, kh: int):
     kc, bpg, ch = best[1], best[2], best[3]
     # degree-sorted rows concentrate rounds in the first groups (uk-2002:
     # group 0 alone blew the SMEM cap at bpg=1600) — shrink bpg until every
-    # group's raw round count fits a range, and give the freed VMEM back to
-    # the chunk size (fewer chunks -> fewer pad segments)
-    cap = int(0.8 * _SMEM_ROUND_CAP)
+    # group's POST-PAD round estimate fits a range (the range splitter can
+    # isolate one group per range, so that is the binding constraint), and
+    # give the freed VMEM back to the chunk size. The estimate prices each
+    # (group, chunk) segment's whole-tile padding (ns-1 rounds worst case);
+    # ch only grows after this loop, so the estimate is conservative.
+    cap = _smem_round_cap(ns)
     while bpg > 1:
-        per_g_h = np.bincount(oblk[:h0] // bpg)
-        per_g_t = np.bincount(oblk[h0:] // bpg)
-        if (int(per_g_h.max(initial=0)) <= cap
-                and int(per_g_t.max(initial=0)) <= cap):
+        Gc = -(-num_blocks // bpg)
+        g_h = oblk[:h0] // bpg
+        g_t = oblk[h0:] // bpg
+        est_h = np.bincount(g_h, minlength=Gc) + (ns - 1)
+        est_t = np.bincount(g_t, minlength=Gc).astype(np.int64)
+        if len(g_t):
+            uk = np.unique((g_t.astype(np.int64) << 32)
+                           + (wrow[h0:] // ch))
+            est_t += np.bincount((uk >> 32).astype(np.int64),
+                                 minlength=Gc) * (ns - 1)
+        if (int(est_h.max(initial=0)) <= cap
+                and int(est_t.max(initial=0)) <= cap):
             break
         bpg //= 2
     free = _KRES_VMEM_BUDGET - kc * bpg * SUBLANES * LANES * 4
@@ -433,7 +457,8 @@ def _build_kres_bundle(a: CSR, th: int, kh: int) -> dict:
     kc, bpg, ch = _pick_kres_geometry(w, kh)
     hub, tail, G, xrp = _regroup_kres(w, bpg, ch)
     ns = w.th // SUBLANES
-    ranges, gspan = _split_kres_ranges(hub, tail, G, ns, _SMEM_ROUND_CAP)
+    ranges, gspan = _split_kres_ranges(hub, tail, G, ns,
+                                       _smem_round_cap(ns))
     del hub, tail
     store = {
         "colperm": np.asarray(colperm, dtype=np.int64),
@@ -496,8 +521,9 @@ class PallasSpmmScattered:
 
             if plan_cache.cache_enabled():
                 kh0 = min(k_hint or 8, SUBLANES)
-                params = {"v": 1, "th": th, "kh": kh0,
-                          "cap": _SMEM_ROUND_CAP,
+                params = {"v": 2, "th": th, "kh": kh0,
+                          "cap": (_SMEM_ROUND_CAP if _SMEM_ROUND_CAP
+                                  is not None else "byte-exact-v2"),
                           "vmem": _KRES_VMEM_BUDGET}
                 try:
                     d = plan_cache.cached_arrays(
@@ -572,7 +598,7 @@ class PallasSpmmScattered:
             self._ch = ch
             hub, tail, G, xrp = _regroup_kres(w, bpg, ch)
             ranges, gspan = _split_kres_ranges(hub, tail, G, ns,
-                                               _SMEM_ROUND_CAP)
+                                               _smem_round_cap(ns))
             del hub, tail
             self._kres_geo = (G, bpg * SUBLANES, xrp, gspan)
             self._kranges = []
