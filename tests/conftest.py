@@ -20,3 +20,72 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still setta
 jax.config.update("jax_platforms", "cpu")
 # fp64 paths (reference validates at fp64) need x64 enabled.
 jax.config.update("jax_enable_x64", True)
+
+
+# ---- fast lane (VERDICT r4 item 8) -------------------------------------
+# The full 496-test run takes >2 h on one core: interpret-mode Pallas
+# sweeps dominate (see `--durations` in any full run). Tests measured
+# >= ~25 s in the 2026-08-21 full run are auto-marked `slow` by BASE name
+# (parametrized ids share the mark) so `-m "not slow"` gives a <10-min
+# correctness lane; the full sweep stays the round-boundary gate.
+import pytest  # noqa: E402
+
+_SLOW_TESTS = {
+    "test_spmm_pseg_scattered_path",
+    "test_spmm_bsr_pallas_t_vmem_guard_falls_back",
+    "test_dist_spmm_pseg_body",
+    "test_dist_spmm_nnz_split",
+    "test_dist_spmv_pseg_body",
+    "test_dist_spmv_pseg_nnz_split",
+    "test_dist_pseg_trailing_empty_rows",
+    "test_bench_dist_spmv_pseg_local",
+    "test_sptrsm_ds_chol_factor_partial_chunk",
+    "test_sptrsm_ds_band_accuracy",
+    "test_sptrsm_ds_multi_chunk_and_unit_diag",
+    "test_sptrsv_ds_band_accuracy",
+    "test_sptrsv_ds_chol_factor",
+    "test_sptrsv_ds_unit_diagonal",
+    "test_spmm_ds_accuracy_and_axpby",
+    "test_spmm_pallas_blocked_windowed_x",
+    "test_spmm_wsell_pallas_unroll_guard_falls_back",
+    "test_spmm_pallas_apply_pure_interpret",
+    "test_spmm_pallas_bf16",
+    "test_spmm_auto_pseg_cost_route_to_passes",
+    "test_pagerank_example",
+    "test_pallas_spmm_interpret",
+    "test_pallas_sptrsv_interpret",
+    "test_pallas_sptrsv_host_path",
+    "test_sptrsv_dense_tail_hybrid",
+    "test_sptrsv_dense_tail_unit_diagonal",
+    "test_sptrsv_dot_modes",
+    "test_sptrsv_pallas_interpret",
+    "test_sptrsv_nd_cholesky_factor",
+    "test_sptrsm_lanes_fuzz",
+    "test_sptrsm_lanes_kernel",
+    "test_sptrsm_lanes_band",
+    "test_sptrsm_lanes_upper",
+    "test_sptrsm_lanes_chunked_k11",
+    "test_sptrsm_pallas_chunked",
+    "test_sptrsm_pallas_batched",
+    "test_kres_odd_k",
+    "test_kres_matches_standard_path",
+    "test_kres_multi_range",
+    "test_kres_groups_and_chunks",
+    "test_kres_tiny_m",
+    "test_kres_hub_only",
+    "test_kres_empty_groups",
+    "test_kres_no_hub_rounds",
+    "test_kres_bundle_cache_roundtrip",
+    "test_spmv_big_wrapper",
+    "test_spmv_plan_pseg_big",
+    "test_spmv_pseg_hybrid_interpret",
+    "test_spmv_pseg_scattered_path",
+    "test_blocked_kernel_interpret",
+    "test_pseg_executor_with_split",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        if it.name.split("[")[0] in _SLOW_TESTS:
+            it.add_marker(pytest.mark.slow)
