@@ -384,6 +384,16 @@ def run_large(emit, web: bool = False, only: str | None = None):
         # k=8 AND k=32 (BASELINE config #2 names both; k=32 is where the
         # k-aware dense routing wins 4.25x over passes — e30)
         for kk in (8, 32):
+            # at web scale the previous bench's plan (~7 GB of HBM) stays
+            # alive through jax's jit cache (the cached step closure holds
+            # the executor and its device arrays), so gc alone does not
+            # release it — uk-2002-full k=8 hit RESOURCE_EXHAUSTED twice:
+            # once without the collect, once with it but without the
+            # cache clear. Recompiles are cheap (persistent compile cache).
+            import gc as _gc
+
+            jax.clear_caches()
+            _gc.collect()
             try:
                 rec = bench_lib.bench_spmm(a, kk, method="auto", iters=4,
                                            ratio_pairs=3)

@@ -43,6 +43,12 @@ _KRES_VMEM_BUDGET = int(12.5 * (1 << 20))   # out block + 2 Xt chunk buffers
 # SpMV wall clock (66.8 vs 34.8 ms, round-11 measurement).
 _SMEM_BYTES = 1 << 20
 _SMEM_ROUND_CAP = None   # test override; None -> byte-exact per ns
+# Plan-time HBM guard (round 11): uk-2002-full's kh=8 kres plan prices
+# 8.34 GB of range-padded schedule + 1.9 GB of live per-range y buffers +
+# 0.6 GB Xt — RESOURCE_EXHAUSTED on a 16 GiB chip once X/Y/feedback join.
+# Reject at plan build (ValueError) so auto routes to spmv_passes over the
+# kc=1 SpMV plan (7.4 GB, fits) instead of dying at dispatch.
+_KRES_HBM_BUDGET = 10 * (1 << 30)
 
 
 def _smem_round_cap(ns: int) -> int:
@@ -436,6 +442,20 @@ class _KresLayoutStats:
         self.val = self._Arr(val_size)
 
 
+def _check_kres_hbm(tiles_total, th, vsz, nranges, gspan, kc, gy, xrp):
+    """ValueError when the kres device plan cannot fit HBM next to its
+    working set: padded schedule streams + all ranges' live y buffers +
+    the staged Xt (see _KRES_HBM_BUDGET note)."""
+    dev = (tiles_total * th * LANES * (vsz + 4)          # val+lcol+tsb
+           + nranges * gspan * kc * gy * LANES * 4       # per-call y bufs
+           + kc * xrp * LANES * 4)                       # Xt
+    if dev > _KRES_HBM_BUDGET:
+        raise ValueError(
+            f"kres device plan ~{dev / (1 << 30):.1f} GiB exceeds the "
+            f"{_KRES_HBM_BUDGET / (1 << 30):.0f} GiB HBM budget; "
+            "use spmv_passes")
+
+
 def _build_kres_bundle(a: CSR, th: int, kh: int) -> dict:
     """Cold build of the flat kres-plan bundle for plan_cache.cached_arrays.
 
@@ -600,6 +620,10 @@ class PallasSpmmScattered:
             ranges, gspan = _split_kres_ranges(hub, tail, G, ns,
                                                _smem_round_cap(ns))
             del hub, tail
+            _check_kres_hbm(
+                sum(h["tiles"] + t["tiles"] for h, t, _, _ in ranges),
+                w.th, value_dtype.itemsize, len(ranges), gspan, self._kc,
+                bpg * SUBLANES, xrp)
             self._kres_geo = (G, bpg * SUBLANES, xrp, gspan)
             self._kranges = []
             tiles_total = 0
@@ -667,6 +691,8 @@ class PallasSpmmScattered:
                 f"PSEG fill {fill:.2f} below {min_fill}; use the XLA path")
         m, n = a.shape
         value_dtype = self.value_dtype
+        _check_kres_hbm(tiles_total, th, value_dtype.itemsize, nranges,
+                        gspan, kc, gy, xrp)
         self.layout = _KresLayoutStats(
             th, x2d_rows, y_rows, fill, layout_bytes, n_stragglers,
             n_hub_rounds, num_tiles, val_size)
