@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--graphs-only", action="store_true",
                     help="run just the power-law graph stage (resume an "
                          "interrupted suite with --out <same file>)")
+    ap.add_argument("--spmm-only", action="store_true",
+                    help="run one large-case SpMM record in THIS process "
+                         "(used as a subprocess by run_large: at web scale "
+                         "the bench only fits HBM in a fresh process)")
+    ap.add_argument("--k", type=int, default=8)
     args = ap.parse_args()
 
     out = Path(args.out or Path(__file__).parent / "results" /
@@ -82,6 +87,18 @@ def main():
         emit(rec)
         return
 
+    if args.spmm_only:
+        from sblas.plan_cache import cached_matrix
+
+        name, gen = next((n, g) for n, g in _large_cases(web=True)
+                         if args.case and args.case in n)
+        a = cached_matrix(f"suite-large-{name}", gen)
+        rec = bench_lib.bench_spmm(a, args.k, method="auto", iters=4,
+                                   ratio_pairs=3)
+        rec.extra["matrix"] = name
+        emit(rec)
+        return
+
     sbw = stream_bandwidth()
     print(f"# STREAM {sbw:.1f} GB/s on {jax.devices()[0]}", flush=True)
 
@@ -91,7 +108,7 @@ def main():
         return
 
     if args.large:
-        run_large(emit, web=args.web, only=args.case)
+        run_large(emit, web=args.web, only=args.case, out_path=out)
         print(f"# wrote {len(records)} records to {out}", flush=True)
         return
 
@@ -307,22 +324,9 @@ def run_graphs(emit):
                       flush=True)
 
 
-def run_large(emit, web: bool = False, only: str | None = None):
-    """>=100M-nnz single-chip records (VERDICT r1 item 4; SURVEY.md §7 hard
-    parts 1 & 4).
-
-    The single-chip kernels stage the whole x AND y in VMEM, so with the
-    ~14 MB compile ceiling the row count caps near 1M f32 rows (x 4MB +
-    y 4MB + double-buffered schedule tiles); the large cases therefore raise
-    nnz through degree: 1M rows x deg 100. Records include generator and
-    packer wall-times and the plan-cache warm-hit time (SURVEY.md §5
-    checkpoint analogue).
-    """
-    import time as _t
-
-    from sblas.ops.spmv import SpmvPlan
-    from sblas.plan_cache import cached_matrix
-
+def _large_cases(web: bool = False):
+    """(name, generator) table for the >=100M-nnz cases — shared by
+    run_large and the --spmm-only subprocess entry."""
     cases = [
         # FEM-style band locality: ~8.5 nnz per 2-panel window keeps
         # w-SELL fill healthy at deg 112 (112e6 nnz: the round-5 deg-100
@@ -347,10 +351,30 @@ def run_large(emit, web: bool = False, only: str | None = None):
         # FULL-scale uk-2002 emulation: 18.5M rows — x2d/y2d are 74 MB
         # each, far past the whole-VMEM executors, so SpMV routes through
         # pseg_big (y-grouped, chunk-streamed; spmv_pseg round 6) and SpMM
-        # through the multi-range k-resident executor
+        # through spmv_passes (the kh=8 kres plan fails the HBM guard)
         cases.append(("uk-2002-full", lambda: datasets.emulate(
             "uk-2002", scale=1.0, dtype=np.float32)))
-    for name, gen in cases:
+    return cases
+
+
+def run_large(emit, web: bool = False, only: str | None = None,
+              out_path=None):
+    """>=100M-nnz single-chip records (VERDICT r1 item 4; SURVEY.md §7 hard
+    parts 1 & 4).
+
+    The single-chip kernels stage the whole x AND y in VMEM, so with the
+    ~14 MB compile ceiling the row count caps near 1M f32 rows (x 4MB +
+    y 4MB + double-buffered schedule tiles); the large cases therefore raise
+    nnz through degree: 1M rows x deg 100. Records include generator and
+    packer wall-times and the plan-cache warm-hit time (SURVEY.md §5
+    checkpoint analogue).
+    """
+    import time as _t
+
+    from sblas.ops.spmv import SpmvPlan
+    from sblas.plan_cache import cached_matrix
+
+    for name, gen in _large_cases(web=web):
         if only and only not in name:
             continue
         try:
@@ -384,16 +408,35 @@ def run_large(emit, web: bool = False, only: str | None = None):
         # k=8 AND k=32 (BASELINE config #2 names both; k=32 is where the
         # k-aware dense routing wins 4.25x over passes — e30)
         for kk in (8, 32):
-            # at web scale the previous bench's plan (~7 GB of HBM) stays
-            # alive through jax's jit cache (the cached step closure holds
-            # the executor and its device arrays), so gc alone does not
-            # release it — uk-2002-full k=8 hit RESOURCE_EXHAUSTED twice:
-            # once without the collect, once with it but without the
-            # cache clear. Recompiles are cheap (persistent compile cache).
+            # release the previous bench's HBM: plans stay alive through
+            # jax's jit cache (the cached step closure holds the executor's
+            # device arrays), so clear it and collect
             import gc as _gc
 
             jax.clear_caches()
             _gc.collect()
+            if a.nnz > 150_000_000:
+                # at web scale even a cleaned process fragments: the
+                # 7.4 GB passes plan + the fori measurement executable's
+                # working set OOM'd after an in-process spmv bench twice
+                # (gc+clear included) while the identical bench fits a
+                # FRESH process — same precedent as the f64 subprocess
+                import subprocess as _sp
+
+                r = _sp.run(
+                    [sys.executable, __file__, "--spmm-only", "--case",
+                     name, "--k", str(kk), "--out", str(out_path)],
+                    capture_output=True, text=True, timeout=7200)
+                got = False
+                for line in r.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line, flush=True)
+                        got = True
+                if not got:
+                    print(f"# large spmm {name} k={kk} SUBPROC FAIL "
+                          f"rc={r.returncode}: {r.stderr[-300:]}",
+                          flush=True)
+                continue
             try:
                 rec = bench_lib.bench_spmm(a, kk, method="auto", iters=4,
                                            ratio_pairs=3)
